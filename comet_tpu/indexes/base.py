@@ -1,0 +1,333 @@
+"""Shared machinery for array-backed vector indexes.
+
+The reference keeps per-index Go slices/maps guarded by RWMutex with roaring
+soft-delete bitmaps (flat_index.go:65-94 et al.). The TPU-native equivalent
+is a padded slot store: host-canonical numpy arrays with power-of-two
+capacity, a boolean validity mask (soft delete = clear a bit), and a lazily
+synced device mirror (vectors + squared norms + valid mask in HBM).
+
+Every index exposes the same fluent search builder the reference does
+(index_search.go:141-279): `.with_query(q).with_k(10).execute()`.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Iterable, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from comet_tpu.core.aggregation import aggregate_scores
+from comet_tpu.core.filter import DocumentFilter
+from comet_tpu.core.limiter import autocut_results, limit_results, sanitize_k
+from comet_tpu.core.node import VectorNode, new_vector_node
+from comet_tpu.core.results import Reranker, VectorResult
+from comet_tpu.types import (
+    DimensionMismatchError,
+    DistanceKind,
+    InvalidConfigError,
+    NodeNotFoundError,
+    ScoreAggregationKind,
+)
+
+MIN_CAPACITY = 1024
+
+
+def next_pow2(x: int, minimum: int = 1) -> int:
+    v = max(int(x), minimum)
+    return 1 << (v - 1).bit_length()
+
+
+class SlotStore:
+    """Padded host-canonical vector storage with soft deletes.
+
+    Slots [0, n) are occupied (possibly soft-deleted); [n, capacity) are free
+    padding. `valid[slot]` False means deleted-or-padding. Device mirrors are
+    rebuilt only when `version` changes.
+    """
+
+    def __init__(self, dim: int, capacity: int = MIN_CAPACITY):
+        self.dim = dim
+        self.capacity = next_pow2(capacity, MIN_CAPACITY)
+        self.vectors = np.zeros((self.capacity, dim), dtype=np.float32)
+        self.ids = np.zeros(self.capacity, dtype=np.uint32)
+        self.valid = np.zeros(self.capacity, dtype=bool)
+        self.n = 0
+        self.id_to_slot: dict[int, int] = {}
+        self.deleted = 0
+        self.version = 0
+        self._dev_version = -1
+        self._dev = None  # (vectors, sqnorms, valid) jnp arrays
+
+    # -- mutation ----------------------------------------------------------
+
+    def _grow_to(self, needed: int) -> None:
+        new_cap = next_pow2(needed, MIN_CAPACITY)
+        if new_cap <= self.capacity:
+            return
+        vectors = np.zeros((new_cap, self.dim), dtype=np.float32)
+        vectors[: self.n] = self.vectors[: self.n]
+        ids = np.zeros(new_cap, dtype=np.uint32)
+        ids[: self.n] = self.ids[: self.n]
+        valid = np.zeros(new_cap, dtype=bool)
+        valid[: self.n] = self.valid[: self.n]
+        self.vectors, self.ids, self.valid = vectors, ids, valid
+        self.capacity = new_cap
+
+    def add_batch(self, ids: np.ndarray, vectors: np.ndarray) -> np.ndarray:
+        """Append preprocessed vectors; returns the assigned slots."""
+        b = len(ids)
+        self._grow_to(self.n + b)
+        slots = np.arange(self.n, self.n + b)
+        self.vectors[slots] = vectors
+        self.ids[slots] = ids
+        self.valid[slots] = True
+        for i, s in zip(ids.tolist(), slots.tolist()):
+            self.id_to_slot[i] = s
+        self.n += b
+        self.version += 1
+        return slots
+
+    def remove(self, node_id: int) -> None:
+        """Soft delete (reference: roaring deletedNodes bitmap, flat_index.go:89)."""
+        slot = self.id_to_slot.pop(int(node_id), None)
+        if slot is None:
+            raise NodeNotFoundError(f"node ID {node_id} not found in index")
+        self.valid[slot] = False
+        self.deleted += 1
+        self.version += 1
+
+    def flush(self) -> np.ndarray:
+        """Hard-delete: compact live slots to the front (flat_index.go:266-299).
+
+        Returns the permutation of old slots kept (for subclasses that track
+        slot-indexed side arrays).
+        """
+        keep = np.flatnonzero(self.valid[: self.n])
+        m = len(keep)
+        self.vectors[:m] = self.vectors[keep]
+        self.vectors[m : self.n] = 0.0
+        self.ids[:m] = self.ids[keep]
+        self.ids[m : self.n] = 0
+        self.valid[:m] = True
+        self.valid[m : self.n] = False
+        self.n = m
+        self.deleted = 0
+        self.id_to_slot = {int(i): s for s, i in enumerate(self.ids[:m].tolist())}
+        self.version += 1
+        return keep
+
+    # -- queries -----------------------------------------------------------
+
+    def contains(self, node_id: int) -> bool:
+        return int(node_id) in self.id_to_slot
+
+    def get_vector(self, node_id: int) -> np.ndarray:
+        slot = self.id_to_slot.get(int(node_id))
+        if slot is None:
+            raise NodeNotFoundError(f"node ID {node_id} not found in index")
+        return self.vectors[slot]
+
+    @property
+    def live_count(self) -> int:
+        return self.n - self.deleted
+
+    def device_state(self):
+        """Lazily synced device mirror: (vectors, sqnorms, valid) in HBM."""
+        if self._dev_version != self.version:
+            vecs = jnp.asarray(self.vectors)
+            sqnorms = jnp.sum(vecs * vecs, axis=1)
+            valid = jnp.asarray(self.valid)
+            self._dev = (vecs, sqnorms, valid)
+            self._dev_version = self.version
+        return self._dev
+
+
+class VectorSearchBuilder:
+    """Fluent search builder shared by all vector indexes
+    (reference: index_search.go:141-279)."""
+
+    def __init__(self, index):
+        self._index = index
+        self._queries: list[np.ndarray] = []
+        self._node_ids: list[int] = []
+        self._k = 10
+        self._threshold = 0.0
+        self._cutoff = -1
+        self._aggregation = ScoreAggregationKind.SUM
+        self._document_ids: list[int] | None = None
+        self._reranker: Reranker | None = None
+        # per-index knobs; validated by the index that consumes them
+        self._nprobes: int | None = None
+        self._ef_search: int | None = None
+
+    # builder knobs --------------------------------------------------------
+
+    def with_query(self, query) -> "VectorSearchBuilder":
+        self._queries.append(np.asarray(query, dtype=np.float32))
+        return self
+
+    def with_queries(self, queries) -> "VectorSearchBuilder":
+        for q in queries:
+            self.with_query(q)
+        return self
+
+    def with_node(self, node_id: int) -> "VectorSearchBuilder":
+        self._node_ids.append(int(node_id))
+        return self
+
+    def with_nodes(self, node_ids: Iterable[int]) -> "VectorSearchBuilder":
+        self._node_ids.extend(int(i) for i in node_ids)
+        return self
+
+    def with_k(self, k: int) -> "VectorSearchBuilder":
+        self._k = int(k)
+        return self
+
+    def with_threshold(self, threshold: float) -> "VectorSearchBuilder":
+        self._threshold = float(threshold)
+        return self
+
+    def with_cutoff(self, cutoff: int) -> "VectorSearchBuilder":
+        self._cutoff = int(cutoff)
+        return self
+
+    def with_score_aggregation(self, kind: ScoreAggregationKind) -> "VectorSearchBuilder":
+        self._aggregation = ScoreAggregationKind(kind)
+        return self
+
+    def with_document_ids(self, document_ids: Iterable[int]) -> "VectorSearchBuilder":
+        self._document_ids = [int(i) for i in document_ids]
+        return self
+
+    def with_reranker(self, reranker: Reranker) -> "VectorSearchBuilder":
+        self._reranker = reranker
+        return self
+
+    def with_nprobes(self, nprobes: int) -> "VectorSearchBuilder":
+        self._nprobes = int(nprobes)
+        return self
+
+    def with_ef_search(self, ef_search: int) -> "VectorSearchBuilder":
+        self._ef_search = int(ef_search)
+        return self
+
+    # execution ------------------------------------------------------------
+
+    def execute(self) -> list[VectorResult]:
+        return self._index._execute_search(self)
+
+
+class BaseVectorIndex:
+    """Common behavior for flat/IVF/PQ/IVFPQ: node-based queries, the
+    aggregate → limit → autocut → rerank pipeline (flat_index_search.go:109-165),
+    and the soft-delete/add bookkeeping."""
+
+    def __init__(self, dim: int, distance_kind: DistanceKind):
+        if dim <= 0:
+            raise InvalidConfigError(f"dimension must be positive, got {dim}")
+        self._dim = dim
+        self._distance_kind = DistanceKind(distance_kind)
+        self._store = SlotStore(dim)
+        self._lock = threading.RLock()
+
+    # -- contracts (index.go:32-63) -----------------------------------------
+
+    def dimensions(self) -> int:
+        return self._dim
+
+    def distance_kind(self) -> DistanceKind:
+        return self._distance_kind
+
+    def trained(self) -> bool:
+        return True
+
+    def count(self) -> int:
+        """Live (non-deleted) vector count."""
+        with self._lock:
+            return self._store.live_count
+
+    def new_search(self) -> VectorSearchBuilder:
+        return VectorSearchBuilder(self)
+
+    # -- helpers -------------------------------------------------------------
+
+    def _check_dim(self, vectors: np.ndarray) -> None:
+        if vectors.shape[-1] != self._dim:
+            raise DimensionMismatchError(
+                f"vector dimension mismatch: expected {self._dim}, got {vectors.shape[-1]}"
+            )
+
+    def _lookup_node_vectors(self, node_ids: Sequence[int]) -> list[np.ndarray]:
+        """WithNode resolution (flat_index_search.go:171-196)."""
+        out = []
+        for node_id in node_ids:
+            out.append(np.array(self._store.get_vector(node_id)))
+        return out
+
+    def _execute_search(self, builder: VectorSearchBuilder) -> list[VectorResult]:
+        if not builder._queries and not builder._node_ids:
+            raise InvalidConfigError("must specify either queries or node IDs")
+
+        with self._lock:
+            queries = list(builder._queries)
+            for q in queries:
+                self._check_dim(q)
+            if builder._node_ids:
+                queries.extend(self._lookup_node_vectors(builder._node_ids))
+            if not queries:
+                return []
+            qarr = np.stack(queries).astype(np.float32)
+
+            # Index-specific batched search: [Q, k_eff] ids/scores with
+            # id == INVALID_ID marking empty slots.
+            ids, scores = self._search_batch(qarr, builder)
+
+        flat_ids = ids.reshape(-1)
+        flat_scores = scores.reshape(-1)
+        keep = flat_ids != INVALID_ID
+        flat_ids = flat_ids[keep]
+        flat_scores = flat_scores[keep]
+
+        uids, uscores = aggregate_scores(
+            flat_ids, flat_scores, builder._aggregation, ascending=True
+        )
+        results = [
+            VectorResult(node=self._result_node(int(i)), score=float(s))
+            for i, s in zip(uids, uscores)
+        ]
+        results = limit_results(results, builder._k)
+        results = autocut_results(results, builder._cutoff)
+        if builder._reranker is not None:
+            results = builder._reranker.rerank(results)
+        return results
+
+    def _result_node(self, node_id: int) -> VectorNode:
+        """Node materialization for results; PQ overrides (no originals)."""
+        return VectorNode(node_id, np.array(self._store.get_vector(node_id)))
+
+    # subclasses implement:
+    def _search_batch(self, queries: np.ndarray, builder: VectorSearchBuilder):
+        raise NotImplementedError
+
+
+INVALID_ID = np.uint32(0xFFFFFFFF)
+
+
+def pad_queries(qarr: np.ndarray) -> tuple[np.ndarray, int]:
+    """Pad the query batch to a power-of-two row count (compile bucketing)."""
+    q = qarr.shape[0]
+    qp = next_pow2(q)
+    if qp == q:
+        return qarr, q
+    out = np.zeros((qp, qarr.shape[1]), dtype=np.float32)
+    out[:q] = qarr
+    return out, q
+
+
+def threshold_scalar(threshold: float) -> jnp.ndarray:
+    """Reference semantics: threshold <= 0 means disabled
+    (flat_index_search.go:269)."""
+    t = np.float32(threshold) if threshold > 0 else np.float32(np.inf)
+    return jnp.asarray(t)

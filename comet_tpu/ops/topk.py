@@ -1,0 +1,125 @@
+"""Streaming masked top-k over corpus tiles.
+
+The reference scans all vectors and sorts on the host per query
+(flat_index_search.go:254-291). Here the corpus lives in HBM as a padded
+[N, d] array; we scan it in tiles with `lax.scan`, keep a running [Q, k]
+result set, and never materialize the full [Q, N] distance matrix.
+
+Determinism contract (needed for exact recall-parity tests): results are
+ordered by ascending score, ties broken by ascending slot index. The merge
+uses `lax.sort` with two keys (score, index) which is lexicographic, and
+`lax.top_k` already prefers lower indices on ties.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from comet_tpu.types import DistanceKind
+from comet_tpu.ops.distance import pairwise_scores_from_norms
+
+INF = jnp.inf
+IDX_SENTINEL = jnp.int32(2**31 - 1)
+
+
+def merge_topk(
+    scores_a: jax.Array,
+    idx_a: jax.Array,
+    scores_b: jax.Array,
+    idx_b: jax.Array,
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Merge two [Q, ka]/[Q, kb] top-k sets into the best [Q, k].
+
+    Lower score is better; ties break toward the lower index. Used by the
+    streaming scan, cross-segment merging, and cross-shard (ICI) merging.
+    """
+    s = jnp.concatenate([scores_a, scores_b], axis=1)
+    i = jnp.concatenate([idx_a, idx_b], axis=1)
+    s_sorted, i_sorted = lax.sort((s, i), dimension=1, num_keys=2)
+    return s_sorted[:, :k], i_sorted[:, :k]
+
+
+def topk_lower(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Top-k *smallest* scores per row with lowest-index tie-break."""
+    neg, idx = lax.top_k(-scores, k)
+    return -neg, idx
+
+
+@partial(jax.jit, static_argnames=("k", "kind", "tile"))
+def scan_topk(
+    queries: jax.Array,
+    corpus: jax.Array,
+    corpus_sqnorms: jax.Array,
+    valid: jax.Array,
+    threshold: jax.Array,
+    k: int,
+    kind: DistanceKind,
+    tile: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact masked k-NN of `queries` against `corpus`.
+
+    Args:
+      queries: [Q, d] float32, preprocessed.
+      corpus:  [N, d] float32, preprocessed, N % tile == 0 (padded capacity).
+      corpus_sqnorms: [N] float32 precomputed squared norms (ignored for
+        cosine).
+      valid: [N] bool — validity mask (live rows & doc-ID filter fused).
+      threshold: scalar float32; rows with distance > threshold are masked.
+        Pass +inf to disable (reference semantics: threshold 0 = disabled,
+        flat_index_search.go:269 — the host maps 0 to +inf).
+      k: static result count per query (k <= tile required).
+      kind: static distance metric.
+      tile: static corpus tile size.
+
+    Returns:
+      (scores [Q, k] float32, slots [Q, k] int32). Empty result slots carry
+      score=+inf and slot=IDX_SENTINEL.
+    """
+    Q = queries.shape[0]
+    N = corpus.shape[0]
+    assert N % tile == 0, (N, tile)
+    num_tiles = N // tile
+
+    init_scores = jnp.full((Q, k), INF, dtype=jnp.float32)
+    init_idx = jnp.full((Q, k), IDX_SENTINEL, dtype=jnp.int32)
+
+    if num_tiles == 1:
+        return _tile_topk(
+            queries, corpus, corpus_sqnorms, valid, threshold, 0,
+            init_scores, init_idx, k, kind,
+        )
+
+    corpus_t = corpus.reshape(num_tiles, tile, -1)
+    sqnorms_t = corpus_sqnorms.reshape(num_tiles, tile)
+    valid_t = valid.reshape(num_tiles, tile)
+
+    def body(carry, inp):
+        best_s, best_i = carry
+        tile_x, tile_n, tile_v, tile_idx = inp
+        best = _tile_topk(
+            queries, tile_x, tile_n, tile_v, threshold, tile_idx * tile,
+            best_s, best_i, k, kind,
+        )
+        return best, None
+
+    (scores, idx), _ = lax.scan(
+        body,
+        (init_scores, init_idx),
+        (corpus_t, sqnorms_t, valid_t, jnp.arange(num_tiles, dtype=jnp.int32)),
+    )
+    return scores, idx
+
+
+def _tile_topk(queries, tile_x, tile_n, tile_v, threshold, base, best_s, best_i, k, kind):
+    dist = pairwise_scores_from_norms(queries, tile_x, tile_n, kind)  # [Q, T]
+    mask = tile_v[None, :] & (dist <= threshold)
+    dist = jnp.where(mask, dist, INF)
+    kk = min(k, tile_x.shape[0])
+    s, i = topk_lower(dist, kk)
+    gi = jnp.where(s == INF, IDX_SENTINEL, i + base).astype(jnp.int32)
+    return merge_topk(best_s, best_i, s, gi, k)

@@ -1,0 +1,291 @@
+"""FlatIndex end-to-end tests (mirrors flat_index_test.go +
+flat_index_search_test.go + flat_index_document_filter_test.go coverage,
+plus the flat-as-oracle exactness harness the reference lacks)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from comet_tpu.core.node import VectorNode, new_vector_node
+from comet_tpu.indexes.flat import FlatIndex
+from comet_tpu.types import (
+    DimensionMismatchError,
+    DistanceKind,
+    InvalidConfigError,
+    NodeNotFoundError,
+    VectorIndexKind,
+    ZeroVectorError,
+)
+
+from oracle import distances_np, topk_np
+
+
+def small_index():
+    idx = FlatIndex(2, DistanceKind.L2)
+    # known layout: id 1 at origin-ish, ids spread on a line
+    vecs = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [10.0, 0.0]], dtype=np.float32)
+    idx.add_batch(vecs, ids=[1, 2, 3, 4])
+    return idx
+
+
+def test_kind_and_dimensions():
+    idx = small_index()
+    assert idx.kind() == VectorIndexKind.FLAT
+    assert idx.dimensions() == 2
+    assert idx.distance_kind() == DistanceKind.L2
+    assert idx.trained() is True
+    assert idx.count() == 4
+
+
+def test_basic_knn_order():
+    idx = small_index()
+    res = idx.new_search().with_query([0.1, 0.0]).with_k(3).execute()
+    assert [r.node.id for r in res] == [1, 2, 3]
+    assert res[0].score == pytest.approx(0.1, abs=1e-5)
+
+
+def test_k_defaults_to_10_and_clamps():
+    idx = small_index()
+    res = idx.new_search().with_query([0.0, 0.0]).execute()
+    assert len(res) == 4  # only 4 vectors
+    res = idx.new_search().with_query([0.0, 0.0]).with_k(0).execute()
+    assert len(res) == 4  # k<=0 means all
+
+
+def test_requires_query_or_node():
+    idx = small_index()
+    with pytest.raises(InvalidConfigError):
+        idx.new_search().with_k(3).execute()
+
+
+def test_dimension_mismatch():
+    idx = small_index()
+    with pytest.raises(DimensionMismatchError):
+        idx.new_search().with_query([1.0, 2.0, 3.0]).execute()
+    with pytest.raises(DimensionMismatchError):
+        idx.add(VectorNode(99, np.zeros(3, dtype=np.float32)))
+
+
+def test_with_node_query():
+    idx = small_index()
+    res = idx.new_search().with_node(2).with_k(2).execute()
+    assert [r.node.id for r in res] == [2, 1]  # node 2 itself, then neighbor
+
+
+def test_with_node_missing_errors():
+    idx = small_index()
+    with pytest.raises(NodeNotFoundError):
+        idx.new_search().with_node(999).execute()
+
+
+def test_with_node_deleted_errors():
+    idx = small_index()
+    idx.remove(2)
+    with pytest.raises(NodeNotFoundError):
+        idx.new_search().with_node(2).execute()
+
+
+def test_threshold_filters():
+    idx = small_index()
+    res = idx.new_search().with_query([0.0, 0.0]).with_k(10).with_threshold(1.5).execute()
+    assert [r.node.id for r in res] == [1, 2]
+    # threshold 0 = disabled
+    res = idx.new_search().with_query([0.0, 0.0]).with_k(10).with_threshold(0.0).execute()
+    assert len(res) == 4
+
+
+def test_document_filter():
+    idx = small_index()
+    res = (
+        idx.new_search()
+        .with_query([0.0, 0.0])
+        .with_k(10)
+        .with_document_ids([3, 4])
+        .execute()
+    )
+    assert [r.node.id for r in res] == [3, 4]
+
+
+def test_soft_delete_and_flush():
+    idx = small_index()
+    idx.remove(1)
+    assert idx.count() == 3
+    res = idx.new_search().with_query([0.0, 0.0]).with_k(10).execute()
+    assert 1 not in [r.node.id for r in res]
+    idx.flush()
+    assert idx.count() == 3
+    res = idx.new_search().with_query([0.0, 0.0]).with_k(10).execute()
+    assert [r.node.id for r in res] == [2, 3, 4]
+
+
+def test_remove_missing_errors():
+    idx = small_index()
+    with pytest.raises(NodeNotFoundError):
+        idx.remove(12345)
+
+
+def test_duplicate_id_rejected():
+    idx = small_index()
+    with pytest.raises(InvalidConfigError):
+        idx.add(VectorNode(1, np.array([5.0, 5.0], dtype=np.float32)))
+
+
+def test_multi_query_sum_aggregation():
+    idx = small_index()
+    res = (
+        idx.new_search()
+        .with_query([0.0, 0.0])
+        .with_query([2.0, 0.0])
+        .with_k(10)
+        .execute()
+    )
+    # Each id appears in both query results; sum of distances:
+    # id1: 0+2=2, id2: 1+1=2, id3: 2+0=2, id4: 10+8=18
+    by_id = {r.node.id: r.score for r in res}
+    assert by_id[1] == pytest.approx(2.0, abs=1e-5)
+    assert by_id[4] == pytest.approx(18.0, abs=1e-5)
+    # ties at 2.0 break by ascending id
+    assert [r.node.id for r in res] == [1, 2, 3, 4]
+
+
+def test_multi_query_max_and_mean():
+    idx = small_index()
+    from comet_tpu.types import ScoreAggregationKind
+
+    res = (
+        idx.new_search()
+        .with_query([0.0, 0.0])
+        .with_query([2.0, 0.0])
+        .with_score_aggregation(ScoreAggregationKind.MAX)
+        .with_k(10)
+        .execute()
+    )
+    by_id = {r.node.id: r.score for r in res}
+    assert by_id[1] == pytest.approx(2.0, abs=1e-5)
+
+    res = (
+        idx.new_search()
+        .with_query([0.0, 0.0])
+        .with_query([2.0, 0.0])
+        .with_score_aggregation(ScoreAggregationKind.MEAN)
+        .with_k(10)
+        .execute()
+    )
+    by_id = {r.node.id: r.score for r in res}
+    assert by_id[4] == pytest.approx(9.0, abs=1e-5)
+
+
+def test_cosine_index_normalizes_and_rejects_zero():
+    idx = FlatIndex(2, DistanceKind.COSINE)
+    idx.add_batch(np.array([[3.0, 0.0], [0.0, 5.0]], dtype=np.float32), ids=[1, 2])
+    with pytest.raises(ZeroVectorError):
+        idx.add(VectorNode(3, np.zeros(2, dtype=np.float32)))
+    res = idx.new_search().with_query([1.0, 0.0]).with_k(2).execute()
+    assert [r.node.id for r in res] == [1, 2]
+    assert res[0].score == pytest.approx(0.0, abs=1e-6)
+    assert res[1].score == pytest.approx(1.0, abs=1e-6)
+
+
+def test_autocut_applied():
+    idx = FlatIndex(1, DistanceKind.L2)
+    vals = np.array([[0.0], [0.01], [0.02], [5.0], [5.01]], dtype=np.float32)
+    idx.add_batch(vals, ids=[1, 2, 3, 4, 5])
+    res = idx.new_search().with_query([0.0]).with_k(5).with_cutoff(1).execute()
+    assert [r.node.id for r in res] == [1, 2, 3]
+
+
+def test_reranker_hook():
+    idx = small_index()
+
+    class Reverse:
+        def rerank(self, results):
+            return list(reversed(results))
+
+    res = idx.new_search().with_query([0.0, 0.0]).with_k(3).with_reranker(Reverse()).execute()
+    assert [r.node.id for r in res] == [3, 2, 1]
+
+
+def test_auto_id_assignment():
+    idx = FlatIndex(2)
+    n1 = new_vector_node(np.array([1.0, 0.0], dtype=np.float32))
+    n2 = new_vector_node(np.array([0.0, 1.0], dtype=np.float32))
+    idx.add(n1)
+    idx.add(n2)
+    assert n2.id == n1.id + 1
+    res = idx.new_search().with_query([1.0, 0.0]).with_k(1).execute()
+    assert res[0].node.id == n1.id
+
+
+@pytest.mark.parametrize("kind", ["l2", "l2_squared", "cosine"])
+def test_exactness_vs_oracle(kind, rng):
+    """Flat search must EXACTLY match the brute-force numpy oracle."""
+    dk = DistanceKind(kind)
+    idx = FlatIndex(16, dk)
+    x = rng.normal(size=(500, 16)).astype(np.float32)
+    ids = np.arange(100, 600, dtype=np.uint32)
+    idx.add_batch(x, ids=ids.tolist())
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+
+    from oracle import preprocess_np
+
+    qp = preprocess_np(q, kind)
+    xp = preprocess_np(x, kind)
+    ws, wi = topk_np(distances_np(qp, xp, kind), 10)
+
+    for qi in range(4):
+        res = idx.new_search().with_query(q[qi]).with_k(10).execute()
+        got_ids = [r.node.id for r in res]
+        want_ids = [int(ids[j]) for j in wi[qi]]
+        assert got_ids == want_ids
+        got_scores = np.array([r.score for r in res])
+        np.testing.assert_allclose(got_scores, ws[qi], rtol=1e-4, atol=1e-4)
+
+
+def test_serialization_roundtrip():
+    idx = small_index()
+    idx.remove(4)  # write_to flushes soft deletes first
+    buf = io.BytesIO()
+    idx.write_to(buf)
+    buf.seek(0)
+
+    idx2 = FlatIndex(2, DistanceKind.L2)
+    idx2.read_from(buf)
+    assert idx2.count() == 3
+    res = idx2.new_search().with_query([0.0, 0.0]).with_k(10).execute()
+    assert [r.node.id for r in res] == [1, 2, 3]
+
+
+def test_serialization_param_mismatch():
+    idx = small_index()
+    buf = io.BytesIO()
+    idx.write_to(buf)
+
+    from comet_tpu.io.serial import SerializationError
+
+    buf.seek(0)
+    wrong_dim = FlatIndex(3, DistanceKind.L2)
+    with pytest.raises(SerializationError):
+        wrong_dim.read_from(buf)
+
+    buf.seek(0)
+    wrong_kind = FlatIndex(2, DistanceKind.COSINE)
+    with pytest.raises(SerializationError):
+        wrong_kind.read_from(buf)
+
+
+def test_serialization_corrupt_magic():
+    from comet_tpu.io.serial import SerializationError
+
+    idx = FlatIndex(2)
+    with pytest.raises(SerializationError):
+        idx.read_from(io.BytesIO(b"JUNKxxxxxxxx"))
+
+
+def test_capacity_growth(rng):
+    idx = FlatIndex(4)
+    x = rng.normal(size=(3000, 4)).astype(np.float32)  # > MIN_CAPACITY
+    idx.add_batch(x)
+    assert idx.count() == 3000
+    res = idx.new_search().with_query(x[1777]).with_k(1).execute()
+    assert res[0].score == pytest.approx(0.0, abs=1e-4)
