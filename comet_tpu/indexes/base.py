@@ -251,6 +251,40 @@ class BaseVectorIndex:
     def new_search(self) -> VectorSearchBuilder:
         return VectorSearchBuilder(self)
 
+    def search_batch(
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        *,
+        threshold: float = 0.0,
+        document_ids: Iterable[int] | None = None,
+        nprobes: int | None = None,
+        ef_search: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """TPU-native throughput API: many independent queries in one step.
+
+        Unlike the fluent builder (where multiple queries are AGGREGATED into
+        one result list, flat_index_search.go:144-153), each row here is its
+        own query. Returns (ids [Q, k] uint32, scores [Q, k] float32); empty
+        slots carry id == INVALID_ID and score == +inf. The reference has no
+        equivalent — it searches one query at a time.
+        """
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        self._check_dim(queries)
+        builder = VectorSearchBuilder(self)
+        builder._k = int(k)
+        builder._threshold = float(threshold)
+        builder._document_ids = (
+            [int(i) for i in document_ids] if document_ids is not None else None
+        )
+        builder._nprobes = nprobes
+        builder._ef_search = ef_search
+        with self._lock:
+            ids, scores = self._search_batch(queries, builder)
+        if ids.shape[1] > k:
+            ids, scores = ids[:, :k], scores[:, :k]
+        return ids, scores
+
     # -- helpers -------------------------------------------------------------
 
     def _check_dim(self, vectors: np.ndarray) -> None:

@@ -33,7 +33,7 @@ from comet_tpu.indexes.base import (
 )
 from comet_tpu.io import serial
 from comet_tpu.ops.distance import preprocess
-from comet_tpu.ops.topk import IDX_SENTINEL, scan_topk
+from comet_tpu.ops.topk import IDX_SENTINEL, block_topk
 from comet_tpu.types import DistanceKind, InvalidConfigError, VectorIndexKind
 
 MAGIC = b"CFLT"
@@ -42,6 +42,9 @@ VERSION = 1
 # Default corpus tile for the streaming scan: 128k rows x 128 dims x 4 B
 # = 64 MB of HBM traffic per tile step at d=128; queries stay VMEM-resident.
 DEFAULT_TILE = 1 << 17
+
+# Query rows per device dispatch (bounds the [Qc, super_tile] dist buffer).
+QUERY_CHUNK = 256
 
 
 class FlatIndex(BaseVectorIndex):
@@ -112,7 +115,7 @@ class FlatIndex(BaseVectorIndex):
 
         k_eff = sanitize_k(builder._k, n_slots)
         k_pad = min(next_pow2(k_eff), store.capacity)
-        tile = min(store.capacity, max(k_pad, DEFAULT_TILE))
+        super_tile = min(store.capacity, DEFAULT_TILE * 8)
 
         qprep = preprocess(queries, self._distance_kind)
         qpad, q_real = pad_queries(qprep)
@@ -122,14 +125,22 @@ class FlatIndex(BaseVectorIndex):
         fmask = doc_filter.slot_mask(store.ids)
         if fmask is not None:
             valid = jnp.logical_and(valid, jnp.asarray(fmask))
+        thr = threshold_scalar(builder._threshold)
 
-        scores, slots = scan_topk(
-            jnp.asarray(qpad), vecs, sqnorms, valid,
-            threshold_scalar(builder._threshold),
-            k_pad, self._distance_kind, tile,
-        )
-        scores = np.asarray(scores)[:q_real, :k_eff]
-        slots_np = np.asarray(slots)[:q_real, :k_eff]
+        # Chunk the query axis so the [Qc, super_tile] distance buffer stays
+        # bounded (~1 GB at Qc=256, st=2^20); chunks dispatch back-to-back
+        # without host syncs in between (pipelined through the queue).
+        chunks = []
+        for q0 in range(0, qpad.shape[0], QUERY_CHUNK):
+            qc = jnp.asarray(qpad[q0 : q0 + QUERY_CHUNK])
+            chunks.append(
+                block_topk(
+                    qc, vecs, sqnorms, valid, thr,
+                    k_pad, self._distance_kind, super_tile=super_tile,
+                )
+            )
+        scores = np.concatenate([np.asarray(s) for s, _ in chunks])[:q_real, :k_eff]
+        slots_np = np.concatenate([np.asarray(i) for _, i in chunks])[:q_real, :k_eff]
 
         hit = slots_np != int(IDX_SENTINEL)
         ids = np.where(hit, store.ids[np.where(hit, slots_np, 0)], INVALID_ID)

@@ -115,6 +115,87 @@ def scan_topk(
     return scores, idx
 
 
+@partial(jax.jit, static_argnames=("k", "kind", "block", "super_tile"))
+def block_topk(
+    queries: jax.Array,
+    corpus: jax.Array,
+    corpus_sqnorms: jax.Array,
+    valid: jax.Array,
+    threshold: jax.Array,
+    k: int,
+    kind: DistanceKind,
+    block: int = 128,
+    super_tile: int = 1 << 20,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact masked k-NN via two-level block selection (fast path).
+
+    Same contract as `scan_topk`, but ~6x cheaper selection: XLA's TopK costs
+    ~O(k * N) per query; here the corpus is split into contiguous groups of
+    `block` rows, a cheap VPU min-reduce produces per-group minima, and only
+    the best min(k, n_groups) groups are gathered for the final small sort.
+
+    Exactness (incl. tie order): every element with score <= tau* (the k-th
+    best key) lives in a group whose min <= tau*, and at most k groups can
+    contain such elements; with CONTIGUOUS groups, ordering groups by
+    (min, group_id) is consistent with ordering elements by (score, index),
+    so the gathered candidate superset always contains the true top-k in the
+    deterministic (score asc, index asc) order.
+    """
+    Q = queries.shape[0]
+    N = corpus.shape[0]
+    assert N % min(super_tile, N) == 0
+    st = min(super_tile, N)
+    num_super = N // st
+
+    def one_super(x_st, sqn_st, valid_st, base):
+        dist = pairwise_scores_from_norms(queries, x_st, sqn_st, kind)  # [Q, st]
+        mask = valid_st[None, :] & (dist <= threshold)
+        dist = jnp.where(mask, dist, INF)
+        G = st // block
+        dist3 = dist.reshape(Q, G, block)
+        gmin = jnp.min(dist3, axis=2)  # [Q, G]
+        kb = min(k, G)
+        _, sel = lax.top_k(-gmin, kb)  # ties -> lower group id
+        gathered = jnp.take_along_axis(dist3, sel[:, :, None], axis=1)  # [Q, kb, B]
+        gidx = sel[:, :, None] * block + lax.broadcasted_iota(
+            jnp.int32, (Q, kb, block), 2
+        )
+        ss, ii = lax.sort(
+            (gathered.reshape(Q, kb * block), gidx.reshape(Q, kb * block)),
+            dimension=1,
+            num_keys=2,
+        )
+        kk = min(k, kb * block)
+        s_out = ss[:, :kk]
+        i_out = jnp.where(s_out == INF, IDX_SENTINEL, ii[:, :kk] + base)
+        if kk < k:
+            s_out = jnp.pad(s_out, ((0, 0), (0, k - kk)), constant_values=INF)
+            i_out = jnp.pad(i_out, ((0, 0), (0, k - kk)), constant_values=IDX_SENTINEL)
+        return s_out, i_out
+
+    if num_super == 1:
+        return one_super(corpus, corpus_sqnorms, valid, 0)
+
+    xs = corpus.reshape(num_super, st, -1)
+    ns = corpus_sqnorms.reshape(num_super, st)
+    vs = valid.reshape(num_super, st)
+
+    def body(carry, inp):
+        bs, bi = carry
+        x_st, sqn_st, valid_st, idx = inp
+        s, i = one_super(x_st, sqn_st, valid_st, idx * st)
+        return merge_topk(bs, bi, s, i, k), None
+
+    init = (
+        jnp.full((Q, k), INF, dtype=jnp.float32),
+        jnp.full((Q, k), IDX_SENTINEL, dtype=jnp.int32),
+    )
+    (scores, idx), _ = lax.scan(
+        body, init, (xs, ns, vs, jnp.arange(num_super, dtype=jnp.int32))
+    )
+    return scores, idx
+
+
 def _tile_topk(queries, tile_x, tile_n, tile_v, threshold, base, best_s, best_i, k, kind):
     dist = pairwise_scores_from_norms(queries, tile_x, tile_n, kind)  # [Q, T]
     mask = tile_v[None, :] & (dist <= threshold)

@@ -8,7 +8,9 @@ the same jax.sharding/pjit partitioning logic XLA uses on a real pod slice.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the ambient environment points at a TPU (JAX_PLATFORMS
+# may be pre-set); COMET_TEST_PLATFORM overrides for on-hardware test runs.
+os.environ["JAX_PLATFORMS"] = os.environ.get("COMET_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +18,16 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The axon sitecustomize may have pre-registered a TPU platform; the config
+# API wins as long as no backend has been initialized yet.
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+jax.config.update(
+    "jax_num_cpu_devices",
+    int(os.environ.get("COMET_TEST_CPU_DEVICES", "8")),
+)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

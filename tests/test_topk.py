@@ -99,3 +99,81 @@ def test_cosine_scan(rng):
     ws, wi = topk_np(distances_np(qn, xn, "cosine"), 5)
     np.testing.assert_array_equal(i, wi)
     np.testing.assert_allclose(s, ws, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# block_topk (fast exact path)
+# ---------------------------------------------------------------------------
+
+from comet_tpu.ops.topk import block_topk
+
+
+def run_block(q, x, valid=None, threshold=np.inf, k=4, kind=DistanceKind.L2,
+              block=4, super_tile=None):
+    n = x.shape[0]
+    st = super_tile or n
+    sqn = (x * x).sum(axis=1)
+    if valid is None:
+        valid = np.ones(n, dtype=bool)
+    s, i = block_topk(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(sqn), jnp.asarray(valid),
+        jnp.asarray(np.float32(threshold)), k, kind, block, st,
+    )
+    return np.asarray(s), np.asarray(i)
+
+
+@pytest.mark.parametrize("super_frac", [1, 2, 4])
+@pytest.mark.parametrize("kind", [DistanceKind.L2, DistanceKind.L2_SQUARED, DistanceKind.COSINE])
+def test_block_topk_matches_oracle(super_frac, kind, rng):
+    Q, N, d, k = 5, 256, 8, 9
+    q = rng.normal(size=(Q, d)).astype(np.float32)
+    x = rng.normal(size=(N, d)).astype(np.float32)
+    if kind == DistanceKind.COSINE:
+        q = q / np.linalg.norm(q, axis=1, keepdims=True)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    s, i = run_block(q, x, k=k, kind=kind, block=8, super_tile=N // super_frac)
+    ws, wi = topk_np(distances_np(q, x, kind.value), k)
+    np.testing.assert_array_equal(i, wi)
+    np.testing.assert_allclose(s, ws, rtol=1e-4, atol=1e-4)
+
+
+def test_block_topk_tie_determinism_with_duplicates(rng):
+    # Corpus of repeated rows: ties everywhere; order must still be ascending
+    # global index, matching the stable oracle.
+    base = rng.normal(size=(8, 4)).astype(np.float32)
+    x = np.tile(base, (16, 1))  # 128 rows, every row duplicated 16x
+    q = rng.normal(size=(3, 4)).astype(np.float32)
+    s, i = run_block(q, x, k=20, block=8, super_tile=32)
+    ws, wi = topk_np(distances_np(q, x, "l2"), 20)
+    np.testing.assert_array_equal(i, wi)
+
+
+def test_block_topk_mask_and_threshold(rng):
+    q = np.array([[0.0, 0.0]], dtype=np.float32)
+    x = np.stack([np.arange(64, dtype=np.float32), np.zeros(64, dtype=np.float32)], axis=1)
+    valid = np.ones(64, dtype=bool)
+    valid[1] = False
+    s, i = run_block(q, x, valid=valid, threshold=4.5, k=10, block=8)
+    kept = [int(v) for v in i[0] if v != int(IDX_SENTINEL)]
+    assert kept == [0, 2, 3, 4]  # 1 masked, >4.5 thresholded
+
+
+def test_block_topk_agrees_with_scan_topk(rng):
+    Q, N, d, k = 4, 512, 16, 17
+    q = rng.normal(size=(Q, d)).astype(np.float32)
+    x = rng.normal(size=(N, d)).astype(np.float32)
+    s1, i1 = run_block(q, x, k=k, block=16, super_tile=128)
+    s2, i2 = run_scan(q, x, k=k, tile=64)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+
+def test_block_topk_k_exceeds_candidates(rng):
+    # k larger than block*groups coverage edge: k > N
+    q = rng.normal(size=(2, 4)).astype(np.float32)
+    x = rng.normal(size=(16, 4)).astype(np.float32)
+    s, i = run_block(q, x, k=32, block=4)
+    assert i.shape == (2, 32)
+    assert np.all(i[:, 16:] == int(IDX_SENTINEL))
+    ws, wi = topk_np(distances_np(q, x, "l2"), 32)
+    np.testing.assert_array_equal(np.where(i == int(IDX_SENTINEL), -1, i), wi)
