@@ -1,10 +1,314 @@
-"""PQ index — placeholder, implemented in a later milestone."""
+"""PQ (product quantization) vector index.
+
+Capability parity with the reference's PQIndex (pq_index.go,
+pq_index_search.go): M subspaces x 2^Nbits centroids trained per subspace,
+originals discarded after encoding (pq_index.go:249-262), ADC search with a
+per-query LUT of squared subspace distances and sqrt'd sums
+(pq_index_search.go:243-306), soft delete + flush, thresholds / filters /
+aggregation / autocut / rerankers, binary serialization, and the
+`calculate_pq_params` helper (pq_index.go:50-67).
+
+TPU-native design: training vmaps k-means per subspace, encoding is a
+batched einsum+argmin, and ADC is a one-hot [Q, M*Ksub] x [M*Ksub, T] MXU
+matmul per corpus tile with exact block-select top-k (ops/adc.py). Codes are
+int32 on device (MXU-friendly one-hot), uint8/uint16 on disk.
+
+Node-based queries and result nodes use the DECODED (reconstructed)
+vectors — the index no longer has the originals, by design.
+"""
+
+from __future__ import annotations
+
+from typing import BinaryIO, Iterable
+
+import jax.numpy as jnp
+import numpy as np
+
+from comet_tpu.core.filter import DocumentFilter
+from comet_tpu.core.limiter import sanitize_k
+from comet_tpu.core.node import VectorNode, reserve_node_ids
+from comet_tpu.indexes.base import (
+    BaseVectorIndex,
+    INVALID_ID,
+    SlotStore,
+    VectorSearchBuilder,
+    next_pow2,
+    pad_queries,
+    threshold_scalar,
+)
+from comet_tpu.io import serial
+from comet_tpu.ops.adc import adc_topk, build_lut, pq_decode, pq_encode
+from comet_tpu.ops.distance import preprocess
+from comet_tpu.ops.kmeans import kmeans_subspace
+from comet_tpu.ops.topk import IDX_SENTINEL
+from comet_tpu.types import (
+    DistanceKind,
+    InvalidConfigError,
+    NodeNotFoundError,
+    NotTrainedError,
+    VectorIndexKind,
+)
+
+MAGIC = b"CPQX"
+VERSION = 1
+
+PQ_QUERY_CHUNK = 256
 
 
-class PQIndex:  # pragma: no cover - stub
-    def __init__(self, *a, **k):
-        raise NotImplementedError("PQIndex: coming in the PQ milestone")
+def calculate_pq_params(dim: int) -> tuple[int, int]:
+    """Recommended (M, Nbits) for a dimension (pq_index.go:50-67)."""
+    m = 8
+    if dim % m != 0:
+        for m in range(8, 33):
+            if dim % m == 0:
+                break
+        if dim % m != 0:
+            m = 4
+    return m, 8
 
 
-def calculate_pq_params(*a, **k):  # pragma: no cover - stub
-    raise NotImplementedError
+class PQIndex(BaseVectorIndex):
+    """Product-quantization index (reference: pq_index.go:75-120)."""
+
+    def __init__(
+        self,
+        dim: int,
+        distance_kind: DistanceKind = DistanceKind.L2,
+        m: int | None = None,
+        nbits: int = 8,
+    ):
+        super().__init__(dim, distance_kind)
+        if m is None:
+            m, nbits = calculate_pq_params(dim)
+        if m <= 0:
+            raise InvalidConfigError("parameter M must be positive")
+        if dim % m != 0:
+            raise InvalidConfigError(f"dimension {dim} must be divisible by M {m}")
+        if nbits <= 0 or nbits > 16:
+            raise InvalidConfigError("parameter Nbits must be in [1,16]")
+        self._m = m
+        self._nbits = nbits
+        self._ksub = 1 << nbits
+        self._dsub = dim // m
+        # Vector-less slot store: PQ keeps codes, not originals.
+        self._store = SlotStore(0)
+        self._codes = np.zeros((self._store.capacity, m), dtype=np.int32)
+        self._codebooks: np.ndarray | None = None  # [M, Ksub, dsub]
+        self._trained = False
+        self._dev_version = -1
+        self._dev_codes = None
+        self._dev_codebooks = None
+
+    # -- contracts -----------------------------------------------------------
+
+    def kind(self) -> VectorIndexKind:
+        return VectorIndexKind.PQ
+
+    def trained(self) -> bool:
+        return self._trained
+
+    @property
+    def m(self) -> int:
+        return self._m
+
+    @property
+    def nbits(self) -> int:
+        return self._nbits
+
+    @property
+    def ksub(self) -> int:
+        return self._ksub
+
+    # -- training --------------------------------------------------------------
+
+    def train(self, vectors: np.ndarray, max_iter: int = 20) -> None:
+        """Learn per-subspace codebooks (pq_index.go:74-127): k-means with
+        L2^2 in each of the M subspaces; needs >= Ksub training vectors."""
+        vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        self._check_dim(vectors)
+        if len(vectors) < self._ksub:
+            raise InvalidConfigError(
+                f"need at least {self._ksub} vectors for training"
+            )
+        prepped = preprocess(vectors, self._distance_kind)
+        sub = prepped.reshape(len(prepped), self._m, self._dsub)
+        codebooks, _ = kmeans_subspace(sub, self._ksub, max_iter)
+        with self._lock:
+            self._codebooks = codebooks
+            self._trained = True
+            # Re-encode any existing vectors? Originals are gone — the
+            # reference has the same limitation; retraining with content is
+            # only valid on an empty index.
+            self._dev_version = -1
+
+    # -- mutation --------------------------------------------------------------
+
+    def add(self, node: VectorNode) -> None:
+        self.add_batch(np.asarray(node.vector, dtype=np.float32)[None, :], [node.id])
+
+    def add_batch(self, vectors: np.ndarray, ids: Iterable[int] | None = None) -> list[int]:
+        """Encode to M codes per vector and discard originals
+        (pq_index.go:249-262)."""
+        if not self._trained:
+            raise NotTrainedError("index must be trained before adding vectors")
+        vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        self._check_dim(vectors)
+        if ids is None:
+            first = reserve_node_ids(len(vectors))
+            id_arr = np.arange(first, first + len(vectors), dtype=np.uint32)
+        else:
+            id_arr = np.asarray(list(ids), dtype=np.uint32)
+            if len(id_arr) != len(vectors):
+                raise InvalidConfigError("ids and vectors length mismatch")
+        prepped = preprocess(vectors, self._distance_kind)
+        codes = np.asarray(
+            pq_encode(
+                jnp.asarray(prepped.reshape(len(prepped), self._m, self._dsub)),
+                jnp.asarray(self._codebooks),
+            )
+        )
+        with self._lock:
+            for i in id_arr.tolist():
+                if self._store.contains(i):
+                    raise InvalidConfigError(f"duplicate node ID {i}")
+            slots = self._store.add_batch(
+                id_arr, np.zeros((len(id_arr), 0), dtype=np.float32)
+            )
+            if self._store.capacity > len(self._codes):
+                grown = np.zeros((self._store.capacity, self._m), dtype=np.int32)
+                grown[: len(self._codes)] = self._codes
+                self._codes = grown
+            self._codes[slots] = codes
+        return id_arr.tolist()
+
+    def remove(self, node_id: int) -> None:
+        with self._lock:
+            self._store.remove(node_id)
+
+    def flush(self) -> None:
+        with self._lock:
+            keep = self._store.flush()
+            kept = self._codes[keep]
+            self._codes[: len(kept)] = kept
+            self._codes[len(kept):] = 0
+
+    # -- search ---------------------------------------------------------------
+
+    def _decode(self, codes: np.ndarray) -> np.ndarray:
+        return np.asarray(pq_decode(jnp.asarray(codes), jnp.asarray(self._codebooks)))
+
+    def _lookup_node_vectors(self, node_ids):
+        """WithNode queries run on DECODED vectors (originals discarded)."""
+        out = []
+        for node_id in node_ids:
+            slot = self._store.id_to_slot.get(int(node_id))
+            if slot is None:
+                raise NodeNotFoundError(f"node ID {node_id} not found in index")
+            out.append(self._decode(self._codes[slot][None, :])[0])
+        return out
+
+    def _result_node(self, node_id: int) -> VectorNode:
+        slot = self._store.id_to_slot[int(node_id)]
+        return VectorNode(node_id, self._decode(self._codes[slot][None, :])[0])
+
+    def _device_codes(self):
+        if self._dev_version != self._store.version:
+            self._dev_codes = jnp.asarray(self._codes[: len(self._codes)])
+            self._dev_codebooks = jnp.asarray(self._codebooks)
+            self._dev_version = self._store.version
+        return self._dev_codes, self._dev_codebooks
+
+    def _search_batch(self, queries: np.ndarray, builder: VectorSearchBuilder):
+        if not self._trained:
+            raise NotTrainedError("index must be trained before searching")
+        store = self._store
+        n_slots = store.n
+        q_in = queries.shape[0]
+        if n_slots == 0:
+            return (
+                np.full((q_in, 0), INVALID_ID, dtype=np.uint32),
+                np.zeros((q_in, 0), dtype=np.float32),
+            )
+
+        k_eff = sanitize_k(builder._k, n_slots)
+        k_pad = min(next_pow2(k_eff), store.capacity)
+
+        qprep = preprocess(queries, self._distance_kind)
+        qpad, q_real = pad_queries(qprep)
+
+        codes_dev, codebooks_dev = self._device_codes()
+        _, _, valid = store.device_state()
+        doc_filter = DocumentFilter(builder._document_ids)
+        fmask = doc_filter.slot_mask(store.ids)
+        if fmask is not None:
+            valid = jnp.logical_and(valid, jnp.asarray(fmask))
+        thr = threshold_scalar(builder._threshold)
+
+        chunks = []
+        for q0 in range(0, qpad.shape[0], PQ_QUERY_CHUNK):
+            qc = qpad[q0 : q0 + PQ_QUERY_CHUNK]
+            lut = build_lut(
+                jnp.asarray(qc.reshape(len(qc), self._m, self._dsub)),
+                codebooks_dev,
+            )
+            chunks.append(adc_topk(lut, codes_dev, valid, thr, k_pad))
+        scores = np.concatenate([np.asarray(s) for s, _ in chunks])[:q_real, :k_eff]
+        slots_np = np.concatenate([np.asarray(i) for _, i in chunks])[:q_real, :k_eff]
+
+        hit = slots_np != int(IDX_SENTINEL)
+        ids = np.where(hit, store.ids[np.where(hit, slots_np, 0)], INVALID_ID)
+        return ids.astype(np.uint32), scores
+
+    # -- serialization ----------------------------------------------------------
+
+    def write_to(self, f: BinaryIO) -> None:
+        """CPQX v1: params + codebooks + ids/codes (flushed)."""
+        with self._lock:
+            self.flush()
+            serial.write_magic(f, MAGIC, VERSION)
+            serial.write_str(f, self._distance_kind.value)
+            serial.write_u32(f, self._dim)
+            serial.write_u32(f, self._m)
+            serial.write_u32(f, self._nbits)
+            serial.write_u32(f, 1 if self._trained else 0)
+            if self._trained:
+                serial.write_array(f, self._codebooks)
+            n = self._store.n
+            serial.write_u64(f, n)
+            serial.write_array(f, self._store.ids[:n])
+            code_dtype = np.uint8 if self._nbits <= 8 else np.uint32
+            serial.write_array(f, self._codes[:n].astype(code_dtype))
+
+    def read_from(self, f: BinaryIO) -> None:
+        serial.read_magic(f, MAGIC, VERSION)
+        kind = DistanceKind(serial.read_str(f))
+        dim = serial.read_u32(f)
+        m = serial.read_u32(f)
+        nbits = serial.read_u32(f)
+        if kind != self._distance_kind:
+            raise serial.SerializationError(
+                f"distance kind mismatch: index={self._distance_kind.value}, stored={kind.value}"
+            )
+        if dim != self._dim:
+            raise serial.SerializationError(f"dimension mismatch: index={self._dim}, stored={dim}")
+        if m != self._m or nbits != self._nbits:
+            raise serial.SerializationError(
+                f"PQ param mismatch: index=(M={self._m}, Nbits={self._nbits}), "
+                f"stored=(M={m}, Nbits={nbits})"
+            )
+        trained = bool(serial.read_u32(f))
+        codebooks = serial.read_array(f) if trained else None
+        n = serial.read_u64(f)
+        ids = serial.read_array(f)
+        codes = serial.read_array(f)
+        with self._lock:
+            self._codebooks = codebooks
+            self._trained = trained
+            self._store = SlotStore(0, capacity=max(n, 1))
+            self._codes = np.zeros((self._store.capacity, self._m), dtype=np.int32)
+            if n:
+                slots = self._store.add_batch(
+                    ids.astype(np.uint32), np.zeros((n, 0), dtype=np.float32)
+                )
+                self._codes[slots] = codes.astype(np.int32)
+            self._dev_version = -1

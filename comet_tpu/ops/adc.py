@@ -1,0 +1,133 @@
+"""Product-quantization kernels: encoding and ADC (asymmetric distance).
+
+The reference encodes one vector at a time (pq_index.go:439-473) and scores
+by scalar LUT lookups per code byte (pq_index_search.go:278-296). Here:
+
+- Encoding is a batched per-subspace distance einsum + argmin on the MXU.
+- ADC is expressed as a one-hot matmul: the [Q, M, Ksub] query LUT (squared
+  L2 per subspace, pq_index_search.go:243-263) is contracted with one-hot
+  encoded codes over the (M, Ksub) axes — a [Q, M*Ksub] x [M*Ksub, T] MXU
+  matmul per corpus tile, which is exactly the table-lookup sum but in
+  systolic-array form. Final distance = sqrt(sum), like the reference
+  (pq_index_search.go:292-296), regardless of the index metric.
+- Selection reuses the exact contiguous block-select top-k.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from comet_tpu.ops.distance import DEFAULT_PRECISION
+from comet_tpu.ops.topk import (
+    IDX_SENTINEL,
+    INF,
+    block_select_from_dist,
+    merge_topk,
+)
+
+ADC_SUPER_TILE = 1 << 13  # 8k codes per step: one-hot buffer stays ~128 MB
+
+
+@jax.jit
+def pq_encode(vectors: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """Encode vectors into PQ codes.
+
+    Args:
+      vectors: [B, M, dsub] float32 (reshaped, preprocessed).
+      codebooks: [M, Ksub, dsub] float32.
+
+    Returns:
+      [B, M] int32 codes (argmin ties -> lowest centroid, parity with the
+      reference's strict `<` scan, pq_index.go:439-473).
+    """
+    ip = jnp.einsum(
+        "bmd,mkd->bmk", vectors, codebooks,
+        preferred_element_type=jnp.float32, precision=DEFAULT_PRECISION,
+    )
+    vn = jnp.sum(vectors * vectors, axis=2, keepdims=True)      # [B, M, 1]
+    cn = jnp.sum(codebooks * codebooks, axis=2)                  # [M, Ksub]
+    dist = vn + cn[None, :, :] - 2.0 * ip
+    return jnp.argmin(dist, axis=2).astype(jnp.int32)
+
+
+@jax.jit
+def pq_decode(codes: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """Reconstruct approximate vectors: [B, M] codes -> [B, M*dsub]."""
+    # codebooks[m, codes[b, m], :] gathered per subspace
+    gathered = jnp.take_along_axis(
+        codebooks[None, :, :, :],
+        codes[:, :, None, None],
+        axis=2,
+    )  # [B, M, 1, dsub]
+    b, m = codes.shape
+    return gathered.reshape(b, m * codebooks.shape[2])
+
+
+@jax.jit
+def build_lut(queries: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """Per-query squared-L2 distance tables (pq_index_search.go:243-263).
+
+    queries: [Q, M, dsub]; codebooks: [M, Ksub, dsub] -> [Q, M, Ksub].
+    """
+    ip = jnp.einsum(
+        "qmd,mkd->qmk", queries, codebooks,
+        preferred_element_type=jnp.float32, precision=DEFAULT_PRECISION,
+    )
+    qn = jnp.sum(queries * queries, axis=2, keepdims=True)
+    cn = jnp.sum(codebooks * codebooks, axis=2)
+    return jnp.maximum(qn + cn[None, :, :] - 2.0 * ip, 0.0)
+
+
+@partial(jax.jit, static_argnames=("k", "block", "super_tile"))
+def adc_topk(
+    lut: jax.Array,        # [Q, M, Ksub] float32
+    codes: jax.Array,      # [N, M] int32 (N = padded capacity)
+    valid: jax.Array,      # [N] bool
+    threshold: jax.Array,  # scalar f32 (on the FINAL sqrt'd distance)
+    k: int,
+    block: int = 128,
+    super_tile: int = ADC_SUPER_TILE,
+) -> tuple[jax.Array, jax.Array]:
+    """Masked exact-ADC top-k. Returns (scores [Q, k], slots [Q, k])."""
+    Q, M, Ksub = lut.shape
+    N = codes.shape[0]
+    st = min(super_tile, N)
+    assert N % st == 0
+    num_super = N // st
+
+    def one_super(codes_st, valid_st, base):
+        onehot = jax.nn.one_hot(codes_st, Ksub, dtype=jnp.float32)  # [st, M, Ksub]
+        dist_sq = jnp.einsum(
+            "smk,qmk->qs", onehot, lut,
+            preferred_element_type=jnp.float32, precision=DEFAULT_PRECISION,
+        )
+        dist = jnp.sqrt(jnp.maximum(dist_sq, 0.0))
+        mask = valid_st[None, :] & (dist <= threshold)
+        dist = jnp.where(mask, dist, INF)
+        return block_select_from_dist(dist, k, min(block, st), base)
+
+    if num_super == 1:
+        return one_super(codes, valid, 0)
+
+    cs = codes.reshape(num_super, st, M)
+    vs = valid.reshape(num_super, st)
+
+    def body(carry, inp):
+        bs, bi = carry
+        codes_st, valid_st, idx = inp
+        s, i = one_super(codes_st, valid_st, idx * st)
+        return merge_topk(bs, bi, s, i, k), None
+
+    init = (
+        jnp.full((Q, k), INF, dtype=jnp.float32),
+        jnp.full((Q, k), IDX_SENTINEL, dtype=jnp.int32),
+    )
+    (scores, slots), _ = lax.scan(
+        body, init, (cs, vs, jnp.arange(num_super, dtype=jnp.int32))
+    )
+    return scores, slots

@@ -115,6 +115,42 @@ def scan_topk(
     return scores, idx
 
 
+def block_select_from_dist(
+    dist: jax.Array,  # [Q, ST] float32, already masked with +inf
+    k: int,
+    block: int,
+    base,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k of a masked distance tile via contiguous block selection.
+
+    See `block_topk` for the exactness argument. `base` is added to local
+    indices to produce global slots; empty slots get (inf, IDX_SENTINEL).
+    Returns ([Q, k] scores, [Q, k] slots).
+    """
+    Q, st = dist.shape
+    G = st // block
+    dist3 = dist.reshape(Q, G, block)
+    gmin = jnp.min(dist3, axis=2)  # [Q, G]
+    kb = min(k, G)
+    _, sel = lax.top_k(-gmin, kb)  # ties -> lower group id
+    gathered = jnp.take_along_axis(dist3, sel[:, :, None], axis=1)  # [Q, kb, B]
+    gidx = sel[:, :, None] * block + lax.broadcasted_iota(
+        jnp.int32, (Q, kb, block), 2
+    )
+    ss, ii = lax.sort(
+        (gathered.reshape(Q, kb * block), gidx.reshape(Q, kb * block)),
+        dimension=1,
+        num_keys=2,
+    )
+    kk = min(k, kb * block)
+    s_out = ss[:, :kk]
+    i_out = jnp.where(s_out == INF, IDX_SENTINEL, ii[:, :kk] + base)
+    if kk < k:
+        s_out = jnp.pad(s_out, ((0, 0), (0, k - kk)), constant_values=INF)
+        i_out = jnp.pad(i_out, ((0, 0), (0, k - kk)), constant_values=IDX_SENTINEL)
+    return s_out, i_out
+
+
 @partial(jax.jit, static_argnames=("k", "kind", "block", "super_tile"))
 def block_topk(
     queries: jax.Array,
@@ -151,27 +187,7 @@ def block_topk(
         dist = pairwise_scores_from_norms(queries, x_st, sqn_st, kind)  # [Q, st]
         mask = valid_st[None, :] & (dist <= threshold)
         dist = jnp.where(mask, dist, INF)
-        G = st // block
-        dist3 = dist.reshape(Q, G, block)
-        gmin = jnp.min(dist3, axis=2)  # [Q, G]
-        kb = min(k, G)
-        _, sel = lax.top_k(-gmin, kb)  # ties -> lower group id
-        gathered = jnp.take_along_axis(dist3, sel[:, :, None], axis=1)  # [Q, kb, B]
-        gidx = sel[:, :, None] * block + lax.broadcasted_iota(
-            jnp.int32, (Q, kb, block), 2
-        )
-        ss, ii = lax.sort(
-            (gathered.reshape(Q, kb * block), gidx.reshape(Q, kb * block)),
-            dimension=1,
-            num_keys=2,
-        )
-        kk = min(k, kb * block)
-        s_out = ss[:, :kk]
-        i_out = jnp.where(s_out == INF, IDX_SENTINEL, ii[:, :kk] + base)
-        if kk < k:
-            s_out = jnp.pad(s_out, ((0, 0), (0, k - kk)), constant_values=INF)
-            i_out = jnp.pad(i_out, ((0, 0), (0, k - kk)), constant_values=IDX_SENTINEL)
-        return s_out, i_out
+        return block_select_from_dist(dist, k, block, base)
 
     if num_super == 1:
         return one_super(corpus, corpus_sqnorms, valid, 0)
