@@ -161,6 +161,7 @@ class VectorSearchBuilder:
         # per-index knobs; validated by the index that consumes them
         self._nprobes: int | None = None
         self._ef_search: int | None = None
+        self._nrefine: int | None = None
 
     # builder knobs --------------------------------------------------------
 
@@ -211,6 +212,13 @@ class VectorSearchBuilder:
 
     def with_ef_search(self, ef_search: int) -> "VectorSearchBuilder":
         self._ef_search = int(ef_search)
+        return self
+
+    def with_nrefine(self, nrefine: int) -> "VectorSearchBuilder":
+        """Exact re-ranking of the top `nrefine` ADC candidates (IVFPQ with
+        store_originals=True). The reference README promises this knob but
+        its Go code never implements it (README.md:1779, SURVEY.md §7)."""
+        self._nrefine = int(nrefine)
         return self
 
     # execution ------------------------------------------------------------

@@ -1,6 +1,487 @@
-"""IVFPQ index — placeholder, implemented in a later milestone."""
+"""IVFPQ vector index: IVF coarse quantizer + PQ on residuals.
+
+Capability parity with the reference's IVFPQIndex (ivfpq_index.go,
+ivfpq_index_search.go): coarse k-means partition, a single shared PQ
+codebook set trained on residuals (vector - assigned centroid,
+ivfpq_index.go:164-259), train needs >= nlist*10 vectors
+(ivfpq_index.go:185), search recomputes a query residual + fresh LUT per
+probed cluster (ivfpq_index_search.go:285-323) and sums LUT entries + sqrt
+(ivfpq_index_search.go:384-390). Soft delete/flush/filters/threshold/
+aggregation/autocut/reranker/serialization as elsewhere.
+
+TPU-native design: one lax.scan over probe ranks; each step builds every
+query's residual LUT in one einsum, gathers the probed list's codes from a
+padded [nlist, maxlen, M] table, and computes ADC distances as a batched
+LUT gather-sum, merging into the running [Q, k] with (score, slot) keys.
+
+Extension over the reference: `with_nrefine(n)` — the README documents a
+refinement stage the Go code never implements (README.md:1779 vs
+ivfpq_index_search.go; SURVEY.md §7 known gaps). Here it works: when
+`store_originals=True` (constructor flag), the top n ADC candidates are
+re-ranked with exact distances on the stored originals.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import BinaryIO, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from comet_tpu.core.filter import DocumentFilter
+from comet_tpu.core.limiter import sanitize_k
+from comet_tpu.core.node import VectorNode, reserve_node_ids
+from comet_tpu.indexes.base import (
+    BaseVectorIndex,
+    INVALID_ID,
+    VectorSearchBuilder,
+    next_pow2,
+    pad_queries,
+    threshold_scalar,
+)
+from comet_tpu.io import serial
+from comet_tpu.ops.distance import DEFAULT_PRECISION, pairwise_scores, preprocess
+from comet_tpu.ops.kmeans import find_nearest_centroid, kmeans, kmeans_subspace
+from comet_tpu.ops.topk import IDX_SENTINEL, INF, merge_topk
+from comet_tpu.types import (
+    DistanceKind,
+    InvalidConfigError,
+    NodeNotFoundError,
+    NotTrainedError,
+    VectorIndexKind,
+)
+
+MAGIC = b"CIPQ"
+VERSION = 1
+
+IVFPQ_QUERY_CHUNK = 64
 
 
-class IVFPQIndex:  # pragma: no cover - stub
-    def __init__(self, *a, **k):
-        raise NotImplementedError("IVFPQIndex: coming in the IVFPQ milestone")
+@partial(jax.jit, static_argnames=("k", "kind", "nprobe"))
+def _ivfpq_search_kernel(
+    queries: jax.Array,      # [Q, d]
+    centroids: jax.Array,    # [nlist, d]
+    codebooks: jax.Array,    # [M, Ksub, dsub]
+    list_slots: jax.Array,   # [nlist, maxlen] int32, -1 padded
+    codes: jax.Array,        # [cap, M] int32
+    valid: jax.Array,        # [cap] bool
+    threshold: jax.Array,    # scalar f32
+    k: int,
+    kind: DistanceKind,
+    nprobe: int,
+):
+    """Batched IVFPQ probe-and-ADC. Returns (scores [Q,k], slots [Q,k])."""
+    Q, d = queries.shape
+    M, Ksub, dsub = codebooks.shape
+    cd = pairwise_scores(queries, centroids, kind)  # [Q, nlist]
+    _, probes = lax.top_k(-cd, nprobe)              # [Q, nprobe]
+
+    cn = jnp.sum(codebooks * codebooks, axis=2)     # [M, Ksub]
+
+    def body(carry, p):
+        best_s, best_i = carry
+        probe = probes[:, p]                         # [Q]
+        # Query residual for this probed cluster (ivfpq_index_search.go:285-296)
+        resid = queries - centroids[probe]           # [Q, d]
+        rs = resid.reshape(Q, M, dsub)
+        ip = jnp.einsum(
+            "qmd,mkd->qmk", rs, codebooks,
+            preferred_element_type=jnp.float32, precision=DEFAULT_PRECISION,
+        )
+        rn = jnp.sum(rs * rs, axis=2, keepdims=True)
+        lut = jnp.maximum(rn + cn[None, :, :] - 2.0 * ip, 0.0)  # [Q, M, Ksub]
+        lut_flat = lut.reshape(Q, M * Ksub)
+
+        slots = list_slots[probe]                    # [Q, L]
+        slots_c = jnp.maximum(slots, 0)
+        member_codes = codes[slots_c]                # [Q, L, M]
+        offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, M), 2) * Ksub
+        codes_off = member_codes + offs              # [Q, L, M]
+        picked = jnp.take_along_axis(
+            lut_flat[:, None, :], codes_off, axis=2
+        )                                            # [Q, L, M]
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(picked, axis=2), 0.0))  # [Q, L]
+
+        ok = (slots >= 0) & valid[slots_c] & (dist <= threshold)
+        dist = jnp.where(ok, dist, INF)
+        kk = min(k, dist.shape[1])
+        s, pos = lax.top_k(-dist, kk)
+        s = -s
+        slot_sel = jnp.take_along_axis(slots, pos, axis=1)
+        slot_sel = jnp.where(s == INF, IDX_SENTINEL, slot_sel)
+        return merge_topk(best_s, best_i, s, slot_sel, k), None
+
+    init = (
+        jnp.full((Q, k), INF, dtype=jnp.float32),
+        jnp.full((Q, k), IDX_SENTINEL, dtype=jnp.int32),
+    )
+    (scores, slots), _ = lax.scan(body, init, jnp.arange(nprobe))
+    return scores, slots
+
+
+class IVFPQIndex(BaseVectorIndex):
+    """IVF + PQ-on-residuals index (reference: ivfpq_index.go:54-100)."""
+
+    def __init__(
+        self,
+        dim: int,
+        distance_kind: DistanceKind = DistanceKind.L2,
+        nlist: int = 100,
+        m: int | None = None,
+        nbits: int = 8,
+        store_originals: bool = False,
+    ):
+        super().__init__(dim, distance_kind)
+        if nlist <= 0:
+            raise InvalidConfigError("nlist must be positive")
+        if m is None:
+            from comet_tpu.indexes.pq import calculate_pq_params
+
+            m, nbits = calculate_pq_params(dim)
+        if m <= 0:
+            raise InvalidConfigError("parameter M must be positive")
+        if dim % m != 0:
+            raise InvalidConfigError(f"dimension {dim} must be divisible by M {m}")
+        if nbits <= 0 or nbits > 16:
+            raise InvalidConfigError("parameter Nbits must be in [1,16]")
+        self._nlist = nlist
+        self._m = m
+        self._nbits = nbits
+        self._ksub = 1 << nbits
+        self._dsub = dim // m
+        self._store_originals = store_originals
+        if not store_originals:
+            # vector-less store: only codes + residual assignment kept
+            from comet_tpu.indexes.base import SlotStore
+
+            self._store = SlotStore(0)
+        self._codes = np.zeros((self._store.capacity, m), dtype=np.int32)
+        self._assign = np.full(self._store.capacity, -1, dtype=np.int32)
+        self._centroids: np.ndarray | None = None
+        self._codebooks: np.ndarray | None = None
+        self._trained = False
+        self._dev_version = -1
+        self._dev = None
+
+    # -- contracts -----------------------------------------------------------
+
+    def kind(self) -> VectorIndexKind:
+        return VectorIndexKind.IVFPQ
+
+    def trained(self) -> bool:
+        return self._trained
+
+    @property
+    def nlist(self) -> int:
+        return self._nlist
+
+    @property
+    def m(self) -> int:
+        return self._m
+
+    @property
+    def nbits(self) -> int:
+        return self._nbits
+
+    def default_nprobes(self) -> int:
+        return max(int(math.sqrt(self._nlist)), 1)
+
+    # -- training --------------------------------------------------------------
+
+    def train(self, vectors: np.ndarray, max_iter: int = 20) -> None:
+        """Coarse k-means + shared PQ codebooks on residuals
+        (ivfpq_index.go:164-259); needs >= nlist*10 vectors."""
+        vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        self._check_dim(vectors)
+        if len(vectors) < self._nlist * 10:
+            raise InvalidConfigError(
+                f"need at least {self._nlist * 10} training vectors "
+                f"(nlist*10), got {len(vectors)}"
+            )
+        prepped = preprocess(vectors, self._distance_kind)
+        centroids, assign = kmeans(prepped, self._nlist, self._distance_kind, max_iter)
+        residuals = prepped - centroids[assign]
+        codebooks, _ = kmeans_subspace(
+            residuals.reshape(len(residuals), self._m, self._dsub),
+            self._ksub,
+            max_iter,
+        )
+        with self._lock:
+            self._centroids = centroids
+            self._codebooks = codebooks
+            self._trained = True
+            self._dev_version = -1
+
+    # -- mutation --------------------------------------------------------------
+
+    def add(self, node: VectorNode) -> None:
+        self.add_batch(np.asarray(node.vector, dtype=np.float32)[None, :], [node.id])
+
+    def add_batch(self, vectors: np.ndarray, ids: Iterable[int] | None = None) -> list[int]:
+        """Assign to nearest centroid, encode the residual
+        (ivfpq_index.go:279-319), batched."""
+        if not self._trained:
+            raise NotTrainedError("index must be trained before adding vectors")
+        vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        self._check_dim(vectors)
+        if ids is None:
+            first = reserve_node_ids(len(vectors))
+            id_arr = np.arange(first, first + len(vectors), dtype=np.uint32)
+        else:
+            id_arr = np.asarray(list(ids), dtype=np.uint32)
+            if len(id_arr) != len(vectors):
+                raise InvalidConfigError("ids and vectors length mismatch")
+        prepped = preprocess(vectors, self._distance_kind)
+        assign = np.asarray(
+            find_nearest_centroid(prepped, self._centroids, self._distance_kind)
+        ).astype(np.int32)
+        residuals = prepped - self._centroids[assign]
+        from comet_tpu.ops.adc import pq_encode
+
+        codes = np.asarray(
+            pq_encode(
+                jnp.asarray(residuals.reshape(len(residuals), self._m, self._dsub)),
+                jnp.asarray(self._codebooks),
+            )
+        )
+        with self._lock:
+            for i in id_arr.tolist():
+                if self._store.contains(i):
+                    raise InvalidConfigError(f"duplicate node ID {i}")
+            stored = prepped if self._store_originals else np.zeros(
+                (len(id_arr), 0), dtype=np.float32
+            )
+            slots = self._store.add_batch(id_arr, stored)
+            if self._store.capacity > len(self._codes):
+                grown_c = np.zeros((self._store.capacity, self._m), dtype=np.int32)
+                grown_c[: len(self._codes)] = self._codes
+                self._codes = grown_c
+                grown_a = np.full(self._store.capacity, -1, dtype=np.int32)
+                grown_a[: len(self._assign)] = self._assign
+                self._assign = grown_a
+            self._codes[slots] = codes
+            self._assign[slots] = assign
+        return id_arr.tolist()
+
+    def remove(self, node_id: int) -> None:
+        with self._lock:
+            self._store.remove(node_id)
+
+    def flush(self) -> None:
+        with self._lock:
+            keep = self._store.flush()
+            self._codes[: len(keep)] = self._codes[keep]
+            self._codes[len(keep):] = 0
+            kept_assign = self._assign[keep]
+            self._assign[: len(kept_assign)] = kept_assign
+            self._assign[len(kept_assign):] = -1
+
+    # -- search ---------------------------------------------------------------
+
+    def _decode(self, slot: int) -> np.ndarray:
+        """Reconstruct: centroid + decoded residual."""
+        from comet_tpu.ops.adc import pq_decode
+
+        resid = np.asarray(
+            pq_decode(jnp.asarray(self._codes[slot][None, :]), jnp.asarray(self._codebooks))
+        )[0]
+        return self._centroids[self._assign[slot]] + resid
+
+    def _lookup_node_vectors(self, node_ids):
+        out = []
+        for node_id in node_ids:
+            slot = self._store.id_to_slot.get(int(node_id))
+            if slot is None:
+                raise NodeNotFoundError(f"node ID {node_id} not found in index")
+            if self._store_originals:
+                out.append(np.array(self._store.vectors[slot]))
+            else:
+                out.append(self._decode(slot))
+        return out
+
+    def _result_node(self, node_id: int) -> VectorNode:
+        slot = self._store.id_to_slot[int(node_id)]
+        if self._store_originals:
+            return VectorNode(node_id, np.array(self._store.vectors[slot]))
+        return VectorNode(node_id, self._decode(slot))
+
+    def _device_state_ivfpq(self):
+        if self._dev_version != self._store.version:
+            n = self._store.n
+            assign = self._assign[:n]
+            order = np.argsort(assign, kind="stable")
+            sorted_assign = assign[order]
+            counts = np.bincount(
+                sorted_assign[sorted_assign >= 0], minlength=self._nlist
+            )
+            maxlen = next_pow2(max(int(counts.max()) if n else 1, 1), 8)
+            table = np.full((self._nlist, maxlen), -1, dtype=np.int32)
+            starts = np.zeros(self._nlist + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            pos0 = np.searchsorted(sorted_assign, 0)
+            for lst in range(self._nlist):
+                lo, hi = starts[lst] + pos0, starts[lst + 1] + pos0
+                table[lst, : hi - lo] = order[lo:hi]
+            self._dev = (
+                jnp.asarray(self._centroids),
+                jnp.asarray(self._codebooks),
+                jnp.asarray(table),
+                jnp.asarray(self._codes),
+                jnp.asarray(self._store.valid),
+            )
+            self._dev_version = self._store.version
+        return self._dev
+
+    def _sanitize_nprobes(self, nprobes: int | None) -> int:
+        if nprobes is None:
+            nprobes = self.default_nprobes()
+        if nprobes <= 0 or nprobes > self._nlist:
+            nprobes = self._nlist
+        return nprobes
+
+    def _search_batch(self, queries: np.ndarray, builder: VectorSearchBuilder):
+        if not self._trained:
+            raise NotTrainedError("index must be trained before searching")
+        store = self._store
+        n_slots = store.n
+        q_in = queries.shape[0]
+        if n_slots == 0:
+            return (
+                np.full((q_in, 0), INVALID_ID, dtype=np.uint32),
+                np.zeros((q_in, 0), dtype=np.float32),
+            )
+
+        k_eff = sanitize_k(builder._k, n_slots)
+        nrefine = 0
+        if builder._nrefine and self._store_originals:
+            nrefine = max(int(builder._nrefine), k_eff)
+        k_pad = min(next_pow2(max(k_eff, nrefine)), store.capacity)
+        nprobe = self._sanitize_nprobes(builder._nprobes)
+
+        qprep = preprocess(queries, self._distance_kind)
+        qpad, q_real = pad_queries(qprep)
+
+        centroids, codebooks, table, codes, valid = self._device_state_ivfpq()
+        doc_filter = DocumentFilter(builder._document_ids)
+        fmask = doc_filter.slot_mask(store.ids)
+        if fmask is not None:
+            valid = jnp.logical_and(valid, jnp.asarray(fmask))
+        thr = threshold_scalar(builder._threshold)
+
+        chunks = []
+        for q0 in range(0, qpad.shape[0], IVFPQ_QUERY_CHUNK):
+            qc = jnp.asarray(qpad[q0 : q0 + IVFPQ_QUERY_CHUNK])
+            chunks.append(
+                _ivfpq_search_kernel(
+                    qc, centroids, codebooks, table, codes, valid, thr,
+                    k_pad, self._distance_kind, nprobe,
+                )
+            )
+        take = max(k_eff, nrefine)
+        scores = np.concatenate([np.asarray(s) for s, _ in chunks])[:q_real, :take]
+        slots_np = np.concatenate([np.asarray(i) for _, i in chunks])[:q_real, :take]
+
+        if nrefine:
+            scores, slots_np = self._refine(qprep, scores, slots_np, k_eff)
+
+        hit = slots_np != int(IDX_SENTINEL)
+        ids = np.where(hit, store.ids[np.where(hit, slots_np, 0)], INVALID_ID)
+        return ids.astype(np.uint32), scores
+
+    def _refine(self, queries, scores, slots, k_eff):
+        """Exact re-ranking over stored originals (nrefine extension)."""
+        q_n, cand = slots.shape
+        safe = np.where(slots != int(IDX_SENTINEL), slots, 0)
+        vecs = self._store.vectors[safe]                 # [Q, C, d]
+        diff = vecs - queries[:, None, :]
+        if self._distance_kind == DistanceKind.COSINE:
+            exact = 1.0 - np.clip(
+                np.einsum("qd,qcd->qc", queries, vecs), -1.0, 1.0
+            )
+        else:
+            exact = np.einsum("qcd,qcd->qc", diff, diff)
+            if self._distance_kind == DistanceKind.L2:
+                exact = np.sqrt(exact)
+        exact = np.where(slots != int(IDX_SENTINEL), exact, np.inf).astype(np.float32)
+        order = np.lexsort((slots, exact), axis=1)[:, :k_eff]
+        return (
+            np.take_along_axis(exact, order, axis=1),
+            np.take_along_axis(slots, order, axis=1),
+        )
+
+    # -- serialization ----------------------------------------------------------
+
+    def write_to(self, f: BinaryIO) -> None:
+        """CIPQ v1: params + centroids + codebooks + ids/codes/assignments."""
+        with self._lock:
+            self.flush()
+            serial.write_magic(f, MAGIC, VERSION)
+            serial.write_str(f, self._distance_kind.value)
+            serial.write_u32(f, self._dim)
+            serial.write_u32(f, self._nlist)
+            serial.write_u32(f, self._m)
+            serial.write_u32(f, self._nbits)
+            serial.write_u32(f, 1 if self._store_originals else 0)
+            serial.write_u32(f, 1 if self._trained else 0)
+            if self._trained:
+                serial.write_array(f, self._centroids)
+                serial.write_array(f, self._codebooks)
+            n = self._store.n
+            serial.write_u64(f, n)
+            serial.write_array(f, self._store.ids[:n])
+            code_dtype = np.uint8 if self._nbits <= 8 else np.uint32
+            serial.write_array(f, self._codes[:n].astype(code_dtype))
+            serial.write_array(f, self._assign[:n])
+            if self._store_originals:
+                serial.write_array(f, self._store.vectors[:n])
+
+    def read_from(self, f: BinaryIO) -> None:
+        serial.read_magic(f, MAGIC, VERSION)
+        kind = DistanceKind(serial.read_str(f))
+        dim = serial.read_u32(f)
+        nlist = serial.read_u32(f)
+        m = serial.read_u32(f)
+        nbits = serial.read_u32(f)
+        store_originals = bool(serial.read_u32(f))
+        if kind != self._distance_kind or dim != self._dim:
+            raise serial.SerializationError(
+                f"param mismatch: index=({self._distance_kind.value}, dim={self._dim}), "
+                f"stored=({kind.value}, dim={dim})"
+            )
+        if nlist != self._nlist or m != self._m or nbits != self._nbits:
+            raise serial.SerializationError(
+                f"IVFPQ param mismatch: index=(nlist={self._nlist}, M={self._m}, "
+                f"Nbits={self._nbits}), stored=(nlist={nlist}, M={m}, Nbits={nbits})"
+            )
+        trained = bool(serial.read_u32(f))
+        centroids = serial.read_array(f) if trained else None
+        codebooks = serial.read_array(f) if trained else None
+        n = serial.read_u64(f)
+        ids = serial.read_array(f)
+        codes = serial.read_array(f)
+        assign = serial.read_array(f)
+        vectors = serial.read_array(f) if store_originals else None
+        with self._lock:
+            from comet_tpu.indexes.base import SlotStore
+
+            self._store_originals = store_originals
+            self._centroids = centroids
+            self._codebooks = codebooks
+            self._trained = trained
+            self._store = SlotStore(dim if store_originals else 0, capacity=max(n, 1))
+            self._codes = np.zeros((self._store.capacity, self._m), dtype=np.int32)
+            self._assign = np.full(self._store.capacity, -1, dtype=np.int32)
+            if n:
+                stored = (
+                    vectors.astype(np.float32)
+                    if store_originals
+                    else np.zeros((n, 0), dtype=np.float32)
+                )
+                slots = self._store.add_batch(ids.astype(np.uint32), stored)
+                self._codes[slots] = codes.astype(np.int32)
+                self._assign[slots] = assign.astype(np.int32)
+            self._dev_version = -1
