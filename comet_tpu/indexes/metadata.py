@@ -1,21 +1,460 @@
-"""Metadata index — placeholder, implemented in a later milestone."""
+"""Metadata index: categorical bitmaps + bit-sliced numeric indexes.
+
+Capability parity with the reference's RoaringMetadataIndex
+(metadata_index.go, metadata_index_search.go):
+
+- Field typing at Add: int/float -> numeric BSI with floats stored as
+  int64(v*100) fixed-point (metadata_index.go:142-143); str/bool ->
+  categorical "field:value" bitmap (bools as "True"/"False" — the Go
+  reference renders "true"/"false"; both spellings are accepted in
+  filters for compatibility).
+- Operators: eq/ne/gt/gte/lt/lte/range/in/not_in/exists/not_exists
+  (metadata_index.go:414-435) with typed constructors + not_() inversion
+  + anyof/noneof/between/is_null aliases (metadata_index.go:448-553).
+- Remove is a HARD delete (metadata_index.go:187-206); flush is a no-op.
+- Search: simple filters AND-ed with early exit
+  (metadata_index_search.go:162-189); FilterGroups OR-ed between groups,
+  AND/OR within (metadata_index_search.go:193-250); fluent
+  where/and_/or_ query builder (metadata_index_search.go:275-345).
+
+Engine: dense packed-word bitsets + biased-uint64 BSI (ops/bitset.py) —
+every filter compiles to O(words) vectorized ops, and the final bitmap
+converts to a slot mask fused into the vector-scan kernels (the reference
+instead hands over a candidate ID list per query, hybrid_search_index.go:498-532).
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field as dc_field
+from typing import Any, BinaryIO, Iterable
+
+import numpy as np
+
+from comet_tpu.core.node import MetadataNode
+from comet_tpu.io import serial
+from comet_tpu.ops.bitset import BSI, Bitset
+from comet_tpu.types import CometError, InvalidConfigError
+
+MAGIC = b"CMTX"
+VERSION = 1
+
+FIXED_POINT_SCALE = 100  # float -> int64(v*100), metadata_index.go:142-143
 
 
-class RoaringMetadataIndex:  # pragma: no cover - stub
-    def __init__(self, *a, **k):
-        raise NotImplementedError("RoaringMetadataIndex: coming in the metadata milestone")
+# ---------------------------------------------------------------------------
+# Filters
+# ---------------------------------------------------------------------------
 
 
-class Filter:  # pragma: no cover - stub
-    pass
+@dataclass(frozen=True)
+class Filter:
+    """A single predicate (metadata_index.go:438-443)."""
+
+    field: str
+    operator: str
+    value: Any = None
+    value2: Any = None  # for range
 
 
-class FilterGroup:  # pragma: no cover - stub
-    pass
+def eq(field: str, value) -> Filter:
+    return Filter(field, "eq", value)
 
 
-def _stub(*a, **k):  # pragma: no cover - stub
-    raise NotImplementedError
+def ne(field: str, value) -> Filter:
+    return Filter(field, "ne", value)
 
 
-eq = ne = gt = gte = lt = lte = range_filter = in_filter = not_in = exists = not_exists = _stub
+def gt(field: str, value) -> Filter:
+    return Filter(field, "gt", value)
+
+
+def gte(field: str, value) -> Filter:
+    return Filter(field, "gte", value)
+
+
+def lt(field: str, value) -> Filter:
+    return Filter(field, "lt", value)
+
+
+def lte(field: str, value) -> Filter:
+    return Filter(field, "lte", value)
+
+
+def range_filter(field: str, lo, hi) -> Filter:
+    return Filter(field, "range", lo, hi)
+
+
+def between(field: str, lo, hi) -> Filter:
+    return range_filter(field, lo, hi)
+
+
+def in_filter(field: str, *values) -> Filter:
+    if len(values) == 1 and isinstance(values[0], (list, tuple)):
+        values = tuple(values[0])
+    return Filter(field, "in", values)
+
+
+def not_in(field: str, *values) -> Filter:
+    if len(values) == 1 and isinstance(values[0], (list, tuple)):
+        values = tuple(values[0])
+    return Filter(field, "not_in", values)
+
+
+def anyof(field: str, *values) -> Filter:
+    return in_filter(field, *values)
+
+
+def noneof(field: str, *values) -> Filter:
+    return not_in(field, *values)
+
+
+def exists(field: str) -> Filter:
+    return Filter(field, "exists")
+
+
+def not_exists(field: str) -> Filter:
+    return Filter(field, "not_exists")
+
+
+def is_null(field: str) -> Filter:
+    return not_exists(field)
+
+
+def is_not_null(field: str) -> Filter:
+    return exists(field)
+
+
+_NOT_TABLE = {
+    "eq": "ne", "ne": "eq",
+    "gt": "lte", "gte": "lt", "lt": "gte", "lte": "gt",
+    "in": "not_in", "not_in": "in",
+    "exists": "not_exists", "not_exists": "exists",
+}
+
+
+def not_(f: Filter) -> Filter:
+    """Invert a filter's operator (metadata_index.go Not, :519-545)."""
+    return Filter(f.field, _NOT_TABLE.get(f.operator, f.operator), f.value, f.value2)
+
+
+@dataclass
+class FilterGroup:
+    """Filters combined with AND/OR; groups OR together
+    (metadata_index_search.go:181-199)."""
+
+    filters: list[Filter] = dc_field(default_factory=list)
+    logic: str = "AND"  # "AND" | "OR"
+
+
+@dataclass(frozen=True)
+class MetadataResult:
+    id: int
+
+    def get_id(self) -> int:
+        return self.id
+
+    def get_score(self) -> float:
+        return 0.0  # metadata hits carry no score (metadata_index_search.go:40-44)
+
+
+def _to_fixed(value) -> int:
+    """Numeric -> fixed-point int64.
+
+    The reference scales only floats by 100 (toInt64,
+    metadata_index.go:396-408), which makes int 150 and float 150.0 in the
+    same field compare differently — a footgun, not a feature. Here ALL
+    numerics are scaled, so mixed int/float fields behave consistently at
+    the same 2-decimal precision.
+    """
+    if isinstance(value, bool):
+        raise InvalidConfigError("boolean is categorical, not numeric")
+    if isinstance(value, (int, np.integer)):
+        return int(value) * FIXED_POINT_SCALE
+    if isinstance(value, (float, np.floating)):
+        return int(value * FIXED_POINT_SCALE)
+    raise InvalidConfigError(f"cannot convert {type(value).__name__} to int64")
+
+
+def _cat_value(value) -> str:
+    if isinstance(value, bool):
+        return str(value)  # "True"/"False"
+    return str(value)
+
+
+# ---------------------------------------------------------------------------
+# Index
+# ---------------------------------------------------------------------------
+
+
+class RoaringMetadataIndex:
+    """Metadata filter index (name kept for reference-API familiarity; the
+    engine is dense packed bitsets, not roaring — see module docstring)."""
+
+    def __init__(self):
+        self._categorical: dict[str, Bitset] = {}
+        self._numeric: dict[str, BSI] = {}
+        self._all_docs = Bitset()
+        self._lock = threading.RLock()
+
+    # -- mutation ----------------------------------------------------------
+
+    def add(self, node: MetadataNode) -> None:
+        """Classify each field numeric/categorical and index it
+        (metadata_index.go:126-154)."""
+        with self._lock:
+            doc_id = int(node.id)
+            self._all_docs.add(doc_id)
+            for key, value in node.metadata.items():
+                if isinstance(value, bool):
+                    self._add_categorical(key, _cat_value(value), doc_id)
+                elif isinstance(value, (int, float, np.integer, np.floating)):
+                    self._add_numeric(key, doc_id, _to_fixed(value))
+                elif isinstance(value, str):
+                    self._add_categorical(key, value, doc_id)
+                else:
+                    raise InvalidConfigError(
+                        f"unsupported type for key {key}: {type(value).__name__}"
+                    )
+
+    def add_batch(self, nodes: Iterable[MetadataNode]) -> None:
+        for node in nodes:
+            self.add(node)
+
+    def _add_categorical(self, field: str, value: str, doc_id: int) -> None:
+        key = f"{field}:{value}"
+        bs = self._categorical.get(key)
+        if bs is None:
+            bs = self._categorical[key] = Bitset()
+        bs.add(doc_id)
+
+    def _add_numeric(self, field: str, doc_id: int, value: int) -> None:
+        bsi = self._numeric.get(field)
+        if bsi is None:
+            bsi = self._numeric[field] = BSI()
+        bsi.set_value(doc_id, value)
+
+    def remove(self, node: MetadataNode) -> None:
+        """HARD delete from every plane (metadata_index.go:187-206)."""
+        with self._lock:
+            doc_id = int(node.id)
+            self._all_docs.discard(doc_id)
+            for bs in self._categorical.values():
+                bs.discard(doc_id)
+            for bsi in self._numeric.values():
+                bsi.clear_value(doc_id)
+
+    def flush(self) -> None:
+        """No-op (metadata_index.go:232-234)."""
+
+    def train(self, *_args) -> None:
+        """No-op; metadata index needs no training."""
+
+    def trained(self) -> bool:
+        return True
+
+    def count(self) -> int:
+        return self._all_docs.count()
+
+    # -- filter evaluation -------------------------------------------------
+
+    def _existence(self, field: str) -> Bitset:
+        if field in self._numeric:
+            return self._numeric[field].ebm.clone()
+        result = Bitset()
+        prefix = field + ":"
+        for key, bs in self._categorical.items():
+            if key.startswith(prefix):
+                result.ior(bs)
+        return result
+
+    def _eval_categorical(self, f: Filter) -> Bitset:
+        op = f.operator or "eq"
+        if op == "eq":
+            key = f"{f.field}:{_cat_value(f.value)}"
+            bs = self._categorical.get(key)
+            return bs.clone() if bs is not None else Bitset()
+        if op == "ne":
+            key = f"{f.field}:{_cat_value(f.value)}"
+            result = self._all_docs.clone()
+            bs = self._categorical.get(key)
+            if bs is not None:
+                result.iandnot(bs)
+            return result
+        if op == "in":
+            result = Bitset()
+            for v in f.value:
+                bs = self._categorical.get(f"{f.field}:{_cat_value(v)}")
+                if bs is not None:
+                    result.ior(bs)
+            return result
+        if op == "not_in":
+            result = self._all_docs.clone()
+            for v in f.value:
+                bs = self._categorical.get(f"{f.field}:{_cat_value(v)}")
+                if bs is not None:
+                    result.iandnot(bs)
+            return result
+        raise InvalidConfigError(f"unsupported operator for categorical field: {op}")
+
+    def _eval_numeric(self, bsi: BSI, f: Filter) -> Bitset:
+        op = f.operator or "eq"
+        if op == "eq":
+            return bsi.compare_eq(_to_fixed(f.value))
+        if op == "ne":
+            return bsi.ebm.andnot(bsi.compare_eq(_to_fixed(f.value)))
+        if op == "gt":
+            return bsi.compare_gt(_to_fixed(f.value))
+        if op == "gte":
+            return bsi.compare_ge(_to_fixed(f.value))
+        if op == "lt":
+            return bsi.compare_lt(_to_fixed(f.value))
+        if op == "lte":
+            return bsi.compare_le(_to_fixed(f.value))
+        if op == "range":
+            return bsi.compare_range(_to_fixed(f.value), _to_fixed(f.value2))
+        raise InvalidConfigError(f"unsupported operator for numeric field: {op}")
+
+    def _eval_filter(self, f: Filter) -> Bitset:
+        if f.operator == "exists":
+            return self._existence(f.field)
+        if f.operator == "not_exists":
+            result = self._all_docs.clone()
+            result.iandnot(self._existence(f.field))
+            return result
+        bsi = self._numeric.get(f.field)
+        if bsi is not None:
+            return self._eval_numeric(bsi, f)
+        return self._eval_categorical(f)
+
+    def _eval(self, filters: list[Filter], groups: list[FilterGroup]) -> Bitset:
+        if groups:
+            final: Bitset | None = None
+            for g in groups:
+                if not g.filters:
+                    gr = self._all_docs.clone()
+                else:
+                    gr = None
+                    for f in g.filters:
+                        bm = self._eval_filter(f)
+                        if gr is None:
+                            gr = bm
+                        elif g.logic == "AND":
+                            gr.iand(bm)
+                            if gr.is_empty():
+                                break
+                        else:
+                            gr.ior(bm)
+                final = gr if final is None else final.or_(gr)
+            return final if final is not None else Bitset()
+        if filters:
+            result: Bitset | None = None
+            for f in filters:
+                bm = self._eval_filter(f)
+                if result is None:
+                    result = bm
+                else:
+                    result.iand(bm)
+                if result.is_empty():
+                    return result
+            return result if result is not None else Bitset()
+        # neither set: all documents (metadata_index_search.go Execute)
+        return self._all_docs.clone()
+
+    def filter_bitset(
+        self,
+        filters: list[Filter] | None = None,
+        groups: list[FilterGroup] | None = None,
+    ) -> Bitset:
+        """Evaluate to a bitmap — the fused-mask fast path for hybrid search."""
+        with self._lock:
+            return self._eval(list(filters or []), list(groups or []))
+
+    def new_search(self) -> "MetadataSearchBuilder":
+        return MetadataSearchBuilder(self)
+
+    # -- serialization ------------------------------------------------------
+
+    def write_to(self, f: BinaryIO) -> None:
+        """CMTX v1: all-docs words + categorical planes + numeric values."""
+        with self._lock:
+            serial.write_magic(f, MAGIC, VERSION)
+            serial.write_array(f, self._all_docs.words)
+            serial.write_u32(f, len(self._categorical))
+            for key in sorted(self._categorical):
+                serial.write_str(f, key)
+                serial.write_array(f, self._categorical[key].words)
+            serial.write_u32(f, len(self._numeric))
+            for field_name in sorted(self._numeric):
+                bsi = self._numeric[field_name]
+                serial.write_str(f, field_name)
+                docs = np.fromiter(bsi.values.keys(), dtype=np.uint64)
+                vals = np.fromiter(
+                    ((v - (1 << 63)) for v in bsi.values.values()), dtype=np.int64
+                )
+                serial.write_array(f, docs)
+                serial.write_array(f, vals)
+
+    def read_from(self, f: BinaryIO) -> None:
+        serial.read_magic(f, MAGIC, VERSION)
+        with self._lock:
+            self._all_docs = Bitset(serial.read_array(f).astype(np.uint64))
+            self._categorical = {}
+            n_cat = serial.read_u32(f)
+            for _ in range(n_cat):
+                key = serial.read_str(f)
+                self._categorical[key] = Bitset(serial.read_array(f).astype(np.uint64))
+            self._numeric = {}
+            n_num = serial.read_u32(f)
+            for _ in range(n_num):
+                field_name = serial.read_str(f)
+                docs = serial.read_array(f)
+                vals = serial.read_array(f)
+                bsi = BSI()
+                bsi.set_values(docs, vals)
+                self._numeric[field_name] = bsi
+
+
+class MetadataSearchBuilder:
+    """Fluent search (metadata_index_search.go:55-272 + the
+    where/and_/or_ query builder at :275-345)."""
+
+    def __init__(self, index: RoaringMetadataIndex):
+        self._index = index
+        self._filters: list[Filter] = []
+        self._groups: list[FilterGroup] = []
+
+    def with_filters(self, *filters: Filter) -> "MetadataSearchBuilder":
+        self._filters = list(filters)
+        return self
+
+    def with_filter_groups(self, *groups: FilterGroup) -> "MetadataSearchBuilder":
+        self._groups = list(groups)
+        return self
+
+    # fluent builder style: where/and_/or_
+    def where(self, *filters: Filter) -> "MetadataSearchBuilder":
+        if filters:
+            self._groups.append(FilterGroup(list(filters), "AND"))
+        return self
+
+    def or_(self, *filters: Filter) -> "MetadataSearchBuilder":
+        if filters:
+            self._groups.append(FilterGroup(list(filters), "AND"))
+        return self
+
+    def and_(self, *filters: Filter) -> "MetadataSearchBuilder":
+        if self._groups and filters:
+            self._groups[-1].filters.extend(filters)
+            self._groups[-1].logic = "AND"
+        elif filters:
+            self.where(*filters)
+        return self
+
+    def execute(self) -> list[MetadataResult]:
+        bs = self._index.filter_bitset(self._filters, self._groups)
+        return [MetadataResult(int(i)) for i in bs.to_array()]
+
+    def execute_bitset(self) -> Bitset:
+        """Bitmap result — stays packed for fusing into scan kernels."""
+        return self._index.filter_bitset(self._filters, self._groups)

@@ -1,0 +1,228 @@
+"""Metadata index tests (mirrors metadata_index_test.go +
+metadata_index_search_test.go coverage)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from comet_tpu.core.node import MetadataNode, new_metadata_node_with_id
+from comet_tpu.indexes.metadata import (
+    FilterGroup,
+    RoaringMetadataIndex,
+    between,
+    eq,
+    exists,
+    gt,
+    gte,
+    in_filter,
+    is_null,
+    lt,
+    lte,
+    ne,
+    not_,
+    not_exists,
+    not_in,
+    range_filter,
+)
+from comet_tpu.types import InvalidConfigError
+
+
+def sample_index():
+    idx = RoaringMetadataIndex()
+    docs = [
+        (1, {"category": "electronics", "price": 999.99, "brand": "Apple", "in_stock": True}),
+        (2, {"category": "electronics", "price": 499.50, "brand": "Samsung", "in_stock": False}),
+        (3, {"category": "books", "price": 15.0, "author": "Knuth"}),
+        (4, {"category": "books", "price": 45.25, "author": "Kernighan"}),
+        (5, {"category": "electronics", "price": 150, "brand": "Xiaomi", "in_stock": True}),
+    ]
+    for doc_id, meta in docs:
+        idx.add(new_metadata_node_with_id(doc_id, meta))
+    return idx
+
+
+def ids(results):
+    return sorted(r.id for r in results)
+
+
+def test_count_and_add():
+    idx = sample_index()
+    assert idx.count() == 5
+
+
+def test_unsupported_type_errors():
+    idx = RoaringMetadataIndex()
+    with pytest.raises(InvalidConfigError):
+        idx.add(new_metadata_node_with_id(1, {"bad": [1, 2, 3]}))
+
+
+def test_eq_categorical():
+    idx = sample_index()
+    res = idx.new_search().with_filters(eq("category", "electronics")).execute()
+    assert ids(res) == [1, 2, 5]
+
+
+def test_eq_bool():
+    idx = sample_index()
+    res = idx.new_search().with_filters(eq("in_stock", True)).execute()
+    assert ids(res) == [1, 5]
+
+
+def test_ne_categorical_includes_docs_without_field():
+    idx = sample_index()
+    res = idx.new_search().with_filters(ne("category", "electronics")).execute()
+    assert ids(res) == [3, 4]
+    # ne on brand: docs without the field also match (allDocs AndNot)
+    res = idx.new_search().with_filters(ne("brand", "Apple")).execute()
+    assert ids(res) == [2, 3, 4, 5]
+
+
+def test_numeric_comparisons():
+    idx = sample_index()
+    assert ids(idx.new_search().with_filters(gt("price", 100)).execute()) == [1, 2, 5]
+    assert ids(idx.new_search().with_filters(gte("price", 150)).execute()) == [1, 2, 5]
+    assert ids(idx.new_search().with_filters(lt("price", 100)).execute()) == [3, 4]
+    assert ids(idx.new_search().with_filters(lte("price", 45.25)).execute()) == [3, 4]
+    assert ids(idx.new_search().with_filters(eq("price", 150)).execute()) == [5]
+    assert ids(idx.new_search().with_filters(ne("price", 150)).execute()) == [1, 2, 3, 4]
+
+
+def test_float_fixed_point_precision():
+    """Floats are stored as int64(v*100): 2-decimal precision."""
+    idx = sample_index()
+    assert ids(idx.new_search().with_filters(eq("price", 999.99)).execute()) == [1]
+    assert ids(idx.new_search().with_filters(eq("price", 999.98)).execute()) == []
+
+
+def test_range_and_between():
+    idx = sample_index()
+    assert ids(idx.new_search().with_filters(range_filter("price", 100, 500)).execute()) == [2, 5]
+    assert ids(idx.new_search().with_filters(between("price", 100, 500)).execute()) == [2, 5]
+
+
+def test_in_not_in():
+    idx = sample_index()
+    assert ids(idx.new_search().with_filters(in_filter("brand", "Apple", "Samsung")).execute()) == [1, 2]
+    assert ids(idx.new_search().with_filters(not_in("brand", "Apple", "Samsung")).execute()) == [3, 4, 5]
+
+
+def test_exists_not_exists():
+    idx = sample_index()
+    assert ids(idx.new_search().with_filters(exists("brand")).execute()) == [1, 2, 5]
+    assert ids(idx.new_search().with_filters(not_exists("brand")).execute()) == [3, 4]
+    assert ids(idx.new_search().with_filters(exists("price")).execute()) == [1, 2, 3, 4, 5]
+    assert ids(idx.new_search().with_filters(is_null("author")).execute()) == [1, 2, 5]
+
+
+def test_not_inversion():
+    idx = sample_index()
+    f = not_(eq("category", "books"))
+    assert f.operator == "ne"
+    assert ids(idx.new_search().with_filters(f).execute()) == [1, 2, 5]
+    assert not_(gt("price", 5)).operator == "lte"
+    assert not_(not_(gt("price", 5))).operator == "gt"
+
+
+def test_multiple_filters_are_anded():
+    idx = sample_index()
+    res = (
+        idx.new_search()
+        .with_filters(eq("category", "electronics"), gt("price", 400))
+        .execute()
+    )
+    assert ids(res) == [1, 2]
+
+
+def test_filter_groups_or_between_and_within():
+    idx = sample_index()
+    res = (
+        idx.new_search()
+        .with_filter_groups(
+            FilterGroup([eq("category", "electronics"), gte("price", 900)], "AND"),
+            FilterGroup([eq("category", "books"), lt("price", 20)], "AND"),
+        )
+        .execute()
+    )
+    assert ids(res) == [1, 3]
+
+
+def test_filter_group_or_within():
+    idx = sample_index()
+    res = (
+        idx.new_search()
+        .with_filter_groups(
+            FilterGroup([eq("brand", "Apple"), eq("brand", "Samsung")], "OR"),
+        )
+        .execute()
+    )
+    assert ids(res) == [1, 2]
+
+
+def test_fluent_builder_where_or_and():
+    idx = sample_index()
+    res = (
+        idx.new_search()
+        .where(eq("category", "electronics"))
+        .and_(gte("price", 400))
+        .or_(eq("author", "Knuth"))
+        .execute()
+    )
+    assert ids(res) == [1, 2, 3]
+
+
+def test_no_filters_returns_all():
+    idx = sample_index()
+    res = idx.new_search().execute()
+    assert ids(res) == [1, 2, 3, 4, 5]
+
+
+def test_remove_is_hard_delete():
+    idx = sample_index()
+    idx.remove(MetadataNode(1, {}))
+    assert idx.count() == 4
+    assert ids(idx.new_search().with_filters(eq("brand", "Apple")).execute()) == []
+    assert ids(idx.new_search().with_filters(eq("category", "electronics")).execute()) == [2, 5]
+
+
+def test_negative_numbers():
+    idx = RoaringMetadataIndex()
+    idx.add(new_metadata_node_with_id(1, {"temp": -40.5}))
+    idx.add(new_metadata_node_with_id(2, {"temp": 0}))
+    idx.add(new_metadata_node_with_id(3, {"temp": 25.5}))
+    assert ids(idx.new_search().with_filters(lt("temp", 0)).execute()) == [1]
+    assert ids(idx.new_search().with_filters(gte("temp", 0)).execute()) == [2, 3]
+    assert ids(idx.new_search().with_filters(range_filter("temp", -50, 10)).execute()) == [1, 2]
+
+
+def test_serialization_roundtrip():
+    idx = sample_index()
+    buf = io.BytesIO()
+    idx.write_to(buf)
+    buf.seek(0)
+    idx2 = RoaringMetadataIndex()
+    idx2.read_from(buf)
+    assert idx2.count() == 5
+    assert ids(idx2.new_search().with_filters(eq("category", "books")).execute()) == [3, 4]
+    assert ids(idx2.new_search().with_filters(gt("price", 400)).execute()) == [1, 2]
+    assert ids(idx2.new_search().with_filters(exists("brand")).execute()) == [1, 2, 5]
+
+
+def test_large_scale_filters(rng):
+    """10k docs, vectorized planes stay correct."""
+    idx = RoaringMetadataIndex()
+    cats = ["a", "b", "c", "d"]
+    prices = rng.integers(0, 1000, size=10000)
+    for i in range(10000):
+        idx.add(
+            new_metadata_node_with_id(
+                i + 1, {"cat": cats[i % 4], "price": int(prices[i])}
+            )
+        )
+    res = idx.new_search().with_filters(eq("cat", "b"), lt("price", 100)).execute()
+    want = [
+        i + 1
+        for i in range(10000)
+        if i % 4 == 1 and prices[i] < 100
+    ]
+    assert ids(res) == want
