@@ -3,7 +3,9 @@
 The reference wraps a pooled roaring bitmap and calls ShouldSkip per vector
 inside every scan loop (document_filter.go:27-65). Here a filter compiles to
 a boolean mask over index *slots* once per search, and the mask is fused into
-the device scoring kernel — no per-row branching.
+the device scoring kernel — no per-row branching. Filters accept either an
+iterable of IDs or a packed `Bitset` (the metadata index's native output),
+so the hybrid pre-filter path never materializes an ID list.
 """
 
 from __future__ import annotations
@@ -12,33 +14,44 @@ from typing import Iterable
 
 import numpy as np
 
+from comet_tpu.ops.bitset import Bitset
+
 
 class DocumentFilter:
     """Membership filter over document IDs; None/empty = all eligible."""
 
-    def __init__(self, document_ids: Iterable[int] | None = None):
+    def __init__(self, document_ids: "Iterable[int] | Bitset | None" = None):
+        self._bitset: Bitset | None = None
+        self._ids: np.ndarray | None = None
         if document_ids is None:
-            self._ids: np.ndarray | None = None
-        else:
-            arr = np.asarray(sorted(set(int(i) for i in document_ids)), dtype=np.uint32)
-            self._ids = arr if arr.size else None
+            return
+        if isinstance(document_ids, Bitset):
+            self._bitset = document_ids
+            return
+        arr = np.asarray(sorted(set(int(i) for i in document_ids)), dtype=np.uint32)
+        if arr.size:
+            self._ids = arr
 
     @property
     def enabled(self) -> bool:
-        return self._ids is not None
+        return self._ids is not None or self._bitset is not None
 
     def should_skip(self, doc_id: int) -> bool:
         """Scalar parity API (document_filter.go:63-65)."""
+        if self._bitset is not None:
+            return not self._bitset.contains(int(doc_id))
         if self._ids is None:
             return False
         pos = np.searchsorted(self._ids, doc_id)
         return not (pos < len(self._ids) and self._ids[pos] == doc_id)
 
     def slot_mask(self, slot_ids: np.ndarray) -> np.ndarray | None:
-        """Boolean mask over an index's slot->id array; None if disabled.
+        """Boolean keep-mask over an index's slot->id array; None if disabled.
 
-        Vectorized: sorted membership test over the whole slot table at once.
+        Vectorized: packed-word probes (Bitset) or a sorted membership test.
         """
+        if self._bitset is not None:
+            return self._bitset.contains_many(np.asarray(slot_ids, dtype=np.uint64))
         if self._ids is None:
             return None
         return np.isin(slot_ids, self._ids, assume_unique=False)

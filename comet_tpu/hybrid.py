@@ -1,10 +1,394 @@
-"""Hybrid coordinator — placeholder, implemented in a later milestone."""
+"""Hybrid search coordinator: vector + text + metadata with score fusion.
+
+Capability parity with the reference's hybridSearchIndex
+(hybrid_search_index.go): facade over the three indexes with a docInfo map
+tracking which modalities each doc has (:42-58), auto-ID adds (:103-112),
+and the execute pipeline (:477-615): metadata pre-filter -> candidate set ->
+vector + text search restricted via document-ID filters -> fusion -> sort
+desc -> k. Metadata-only hits get score 1.0 (:589-593); fused scores are
+float64 on purpose (:309-314).
+
+TPU-native improvement: the metadata candidate set stays a PACKED BITSET
+end-to-end — it becomes a slot mask fused into the vector scan kernel and a
+word-probe mask in BM25 — instead of the reference's per-query candidate ID
+list handoff (hybrid_search_index.go:498-532).
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+from typing import Any, BinaryIO
+
+import numpy as np
+
+from comet_tpu.core.node import MetadataNode, new_metadata_node_with_id, next_node_id
+from comet_tpu.fusion import Fusion, FusionConfig, default_fusion, new_fusion
+from comet_tpu.indexes.metadata import Filter, FilterGroup
+from comet_tpu.io import serial
+from comet_tpu.types import (
+    FusionKind,
+    InvalidConfigError,
+    ScoreAggregationKind,
+)
+
+MAGIC = b"CHYB"
+VERSION = 1
 
 
-class HybridSearchIndex:  # pragma: no cover - stub
-    def __init__(self, *a, **k):
-        raise NotImplementedError("HybridSearchIndex: coming in the hybrid milestone")
+@dataclass
+class HybridSearchResult:
+    """Fused hit; score is float64 (hybrid_search_index.go:309-314)."""
+
+    id: int
+    score: float
+
+    def get_id(self) -> int:
+        return self.id
+
+    def get_score(self) -> float:
+        return self.score
 
 
-def new_hybrid_search_index(*a, **k):  # pragma: no cover - stub
-    raise NotImplementedError
+@dataclass
+class _DocInfo:
+    has_vector: bool = False
+    has_text: bool = False
+    has_metadata: bool = False
+
+
+class HybridSearchIndex:
+    """Facade over vector + text + metadata indexes
+    (reference: hybrid_search_index.go:42-58)."""
+
+    def __init__(self, vector_index=None, text_index=None, metadata_index=None):
+        self._vector = vector_index
+        self._text = text_index
+        self._metadata = metadata_index
+        self._doc_info: dict[int, _DocInfo] = {}
+        self._lock = threading.RLock()
+
+    # -- accessors -----------------------------------------------------------
+
+    def vector_index(self):
+        return self._vector
+
+    def text_index(self):
+        return self._text
+
+    def metadata_index(self):
+        return self._metadata
+
+    def count(self) -> int:
+        with self._lock:
+            return len(self._doc_info)
+
+    def has_document(self, doc_id: int) -> bool:
+        with self._lock:
+            return int(doc_id) in self._doc_info
+
+    # -- mutation --------------------------------------------------------------
+
+    def add(
+        self,
+        vector: np.ndarray | None = None,
+        text: str = "",
+        metadata: dict[str, Any] | None = None,
+    ) -> int:
+        """Add with an auto-generated ID (hybrid_search_index.go:103-112)."""
+        doc_id = next_node_id()
+        self.add_with_id(doc_id, vector, text, metadata)
+        return doc_id
+
+    def add_with_id(
+        self,
+        doc_id: int,
+        vector: np.ndarray | None = None,
+        text: str = "",
+        metadata: dict[str, Any] | None = None,
+    ) -> None:
+        with self._lock:
+            doc_id = int(doc_id)
+            info = _DocInfo()
+            if vector is not None and np.size(vector) > 0:
+                self._require(self._vector, "vector")
+                self._vector.add_batch(
+                    np.asarray(vector, dtype=np.float32)[None, :], [doc_id]
+                )
+                info.has_vector = True
+            if text:
+                self._require(self._text, "text")
+                self._text.add(doc_id, text)
+                info.has_text = True
+            if metadata:
+                self._require(self._metadata, "metadata")
+                self._metadata.add(new_metadata_node_with_id(doc_id, metadata))
+                info.has_metadata = True
+            self._doc_info[doc_id] = info
+
+    def remove(self, doc_id: int) -> None:
+        with self._lock:
+            doc_id = int(doc_id)
+            info = self._doc_info.pop(doc_id, None)
+            if info is None:
+                raise InvalidConfigError(f"document {doc_id} not found")
+            if info.has_vector:
+                self._vector.remove(doc_id)
+            if info.has_text:
+                self._text.remove(doc_id)
+            if info.has_metadata:
+                self._metadata.remove(MetadataNode(doc_id, {}))
+
+    def train(self, vectors: np.ndarray) -> None:
+        """Trains the vector index (hybrid_search_index.go Train)."""
+        self._require(self._vector, "vector")
+        self._vector.train(vectors)
+
+    def flush(self) -> None:
+        for idx in (self._vector, self._text, self._metadata):
+            if idx is not None:
+                idx.flush()
+
+    @staticmethod
+    def _require(index, name: str):
+        if index is None:
+            raise InvalidConfigError(f"no {name} index configured")
+        return index
+
+    # -- search ---------------------------------------------------------------
+
+    def new_search(self) -> "HybridSearchBuilder":
+        return HybridSearchBuilder(self)
+
+    # -- serialization ----------------------------------------------------------
+
+    def write_to(
+        self,
+        hybrid_w: BinaryIO,
+        vector_w: BinaryIO | None = None,
+        text_w: BinaryIO | None = None,
+        metadata_w: BinaryIO | None = None,
+    ) -> None:
+        """CHYB v1 header + docInfo to hybrid_w; each sub-index to its own
+        writer (reference: 4-writer WriteTo, hybrid_search_index.go:655-773).
+        Flushes soft deletes first."""
+        with self._lock:
+            self.flush()
+            serial.write_magic(hybrid_w, MAGIC, VERSION)
+            serial.write_u32(
+                hybrid_w,
+                (1 if self._vector is not None else 0)
+                | (2 if self._text is not None else 0)
+                | (4 if self._metadata is not None else 0),
+            )
+            serial.write_u64(hybrid_w, len(self._doc_info))
+            for doc_id in sorted(self._doc_info):
+                info = self._doc_info[doc_id]
+                flags = (
+                    (1 if info.has_vector else 0)
+                    | (2 if info.has_text else 0)
+                    | (4 if info.has_metadata else 0)
+                )
+                serial.write_u32(hybrid_w, doc_id)
+                serial.write_u32(hybrid_w, flags)
+            if self._vector is not None:
+                self._vector.write_to(self._require(vector_w, "vector writer"))
+            if self._text is not None:
+                self._text.write_to(self._require(text_w, "text writer"))
+            if self._metadata is not None:
+                self._metadata.write_to(self._require(metadata_w, "metadata writer"))
+
+    def read_from(
+        self,
+        hybrid_r: BinaryIO,
+        vector_r: BinaryIO | None = None,
+        text_r: BinaryIO | None = None,
+        metadata_r: BinaryIO | None = None,
+    ) -> None:
+        serial.read_magic(hybrid_r, MAGIC, VERSION)
+        present = serial.read_u32(hybrid_r)
+        n = serial.read_u64(hybrid_r)
+        with self._lock:
+            doc_info: dict[int, _DocInfo] = {}
+            for _ in range(n):
+                doc_id = serial.read_u32(hybrid_r)
+                flags = serial.read_u32(hybrid_r)
+                doc_info[doc_id] = _DocInfo(
+                    bool(flags & 1), bool(flags & 2), bool(flags & 4)
+                )
+            if present & 1:
+                self._require(self._vector, "vector").read_from(
+                    self._require(vector_r, "vector reader")
+                )
+            if present & 2:
+                self._require(self._text, "text").read_from(
+                    self._require(text_r, "text reader")
+                )
+            if present & 4:
+                self._require(self._metadata, "metadata").read_from(
+                    self._require(metadata_r, "metadata reader")
+                )
+            self._doc_info = doc_info
+
+
+def new_hybrid_search_index(
+    vector_index=None, text_index=None, metadata_index=None
+) -> HybridSearchIndex:
+    return HybridSearchIndex(vector_index, text_index, metadata_index)
+
+
+class HybridSearchBuilder:
+    """Fluent hybrid search (reference: hybrid_search_index.go:326-365)."""
+
+    def __init__(self, index: HybridSearchIndex):
+        self._index = index
+        self._vector_query: np.ndarray | None = None
+        self._text_queries: list[str] = []
+        self._metadata_filters: list[Filter] = []
+        self._metadata_groups: list[FilterGroup] = []
+        self._k = 10
+        self._nprobes = 0
+        self._ef_search = 0
+        self._threshold = 0.0
+        self._aggregation = ScoreAggregationKind.SUM
+        self._cutoff = -1
+        self._fusion: Fusion = default_fusion()
+
+    def with_vector(self, query) -> "HybridSearchBuilder":
+        self._vector_query = np.asarray(query, dtype=np.float32)
+        return self
+
+    def with_text(self, *queries: str) -> "HybridSearchBuilder":
+        self._text_queries.extend(queries)
+        return self
+
+    def with_metadata(self, *filters: Filter) -> "HybridSearchBuilder":
+        self._metadata_filters.extend(filters)
+        return self
+
+    def with_metadata_groups(self, *groups: FilterGroup) -> "HybridSearchBuilder":
+        self._metadata_groups.extend(groups)
+        return self
+
+    def with_k(self, k: int) -> "HybridSearchBuilder":
+        self._k = int(k)
+        return self
+
+    def with_nprobes(self, nprobes: int) -> "HybridSearchBuilder":
+        self._nprobes = int(nprobes)
+        return self
+
+    def with_ef_search(self, ef_search: int) -> "HybridSearchBuilder":
+        self._ef_search = int(ef_search)
+        return self
+
+    def with_threshold(self, threshold: float) -> "HybridSearchBuilder":
+        self._threshold = float(threshold)
+        return self
+
+    def with_score_aggregation(self, kind: ScoreAggregationKind) -> "HybridSearchBuilder":
+        self._aggregation = ScoreAggregationKind(kind)
+        return self
+
+    def with_cutoff(self, cutoff: int) -> "HybridSearchBuilder":
+        self._cutoff = int(cutoff)
+        return self
+
+    def with_fusion(self, fusion: Fusion) -> "HybridSearchBuilder":
+        self._fusion = fusion
+        return self
+
+    def with_fusion_kind(
+        self, kind: FusionKind, config: FusionConfig | None = None
+    ) -> "HybridSearchBuilder":
+        self._fusion = new_fusion(kind, config)
+        return self
+
+    def execute(self) -> list[HybridSearchResult]:
+        """Pipeline parity with hybrid_search_index.go:477-615."""
+        idx = self._index
+
+        # STEP 1: metadata pre-filter -> packed candidate bitset
+        candidates = None
+        if self._metadata_filters or self._metadata_groups:
+            if idx._metadata is None:
+                raise InvalidConfigError(
+                    "metadata filters specified but no metadata index configured"
+                )
+            candidates = idx._metadata.filter_bitset(
+                self._metadata_filters, self._metadata_groups
+            )
+            if candidates.is_empty():
+                return []
+
+        # STEP 2: vector search
+        vector_scores: dict[int, float] = {}
+        if self._vector_query is not None:
+            if idx._vector is None:
+                raise InvalidConfigError(
+                    "vector query specified but no vector index configured"
+                )
+            vs = (
+                idx._vector.new_search()
+                .with_query(self._vector_query)
+                .with_k(self._k)
+                .with_score_aggregation(self._aggregation)
+                .with_cutoff(self._cutoff)
+            )
+            if self._nprobes > 0:
+                vs = vs.with_nprobes(self._nprobes)
+            if self._ef_search > 0:
+                vs = vs.with_ef_search(self._ef_search)
+            if self._threshold > 0:
+                vs = vs.with_threshold(self._threshold)
+            if candidates is not None:
+                vs = vs.with_document_ids(candidates)
+            for r in vs.execute():
+                vector_scores[r.get_id()] = float(r.get_score())
+
+        # STEP 3: text search
+        text_scores: dict[int, float] = {}
+        if self._text_queries:
+            if idx._text is None:
+                raise InvalidConfigError(
+                    "text query specified but no text index configured"
+                )
+            ts = (
+                idx._text.new_search()
+                .with_query(*self._text_queries)
+                .with_k(self._k)
+                .with_score_aggregation(self._aggregation)
+                .with_cutoff(self._cutoff)
+            )
+            if candidates is not None:
+                ts = ts.with_document_ids(candidates)
+            for r in ts.execute():
+                text_scores[r.get_id()] = float(r.get_score())
+
+        # STEP 4: fusion
+        if vector_scores and text_scores:
+            combined = self._fusion.combine(vector_scores, text_scores)
+        elif vector_scores:
+            combined = vector_scores
+        elif text_scores:
+            combined = text_scores
+        else:
+            combined = {}
+
+        # metadata-only search: every candidate scores 1.0 (:589-593)
+        if not combined and candidates is not None:
+            combined = {int(i): 1.0 for i in candidates.to_array()}
+
+        results = [HybridSearchResult(i, s) for i, s in combined.items()]
+        # Sort: descending for fused/text scores (higher = better). For a
+        # VECTOR-ONLY search the scores are distances, so ascending — the
+        # reference sorts desc unconditionally (hybrid_search_index.go:596-613),
+        # which ranks vector-only results worst-first; that quirk is not
+        # replicated. Ties break by ascending id (the reference's tie order
+        # is unspecified Go map order).
+        vector_only = bool(vector_scores) and not text_scores and combined is vector_scores
+        if vector_only:
+            results.sort(key=lambda r: (r.score, r.id))
+        else:
+            results.sort(key=lambda r: (-r.score, r.id))
+        return results[: self._k] if self._k < len(results) else results

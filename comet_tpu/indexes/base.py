@@ -198,8 +198,14 @@ class VectorSearchBuilder:
         self._aggregation = ScoreAggregationKind(kind)
         return self
 
-    def with_document_ids(self, document_ids: Iterable[int]) -> "VectorSearchBuilder":
-        self._document_ids = [int(i) for i in document_ids]
+    def with_document_ids(self, document_ids) -> "VectorSearchBuilder":
+        """Accepts an iterable of IDs or a packed Bitset (stays packed)."""
+        from comet_tpu.ops.bitset import Bitset
+
+        if isinstance(document_ids, Bitset):
+            self._document_ids = document_ids
+        else:
+            self._document_ids = [int(i) for i in document_ids]
         return self
 
     def with_reranker(self, reranker: Reranker) -> "VectorSearchBuilder":

@@ -1,6 +1,359 @@
-"""BM25 text index — placeholder, implemented in a later milestone."""
+"""BM25 full-text index.
+
+Capability parity with the reference's BM25SearchIndex (bm25_index.go,
+bm25_index_search.go): K1=1.2 / B=0.75 (bm25_index.go:75-80), NFKC +
+lowercase normalization (bm25_index.go:154-156), word tokenization,
+IDF = log((N-df+0.5)/(df+0.5)+1) with TF saturation
+(bm25_index_search.go:299-327), add-replaces-existing, soft delete (counts
+unchanged until flush, bm25_index.go:253-278,374-399), node-based
+"more-like-this" queries reconstructed from stored tokens
+(bm25_index_search.go:233-261), multi-query aggregation / k / autocut /
+doc-ID filters, and binary serialization.
+
+Tokenizer note: the reference iterates raw UAX#29 segments — including
+punctuation and whitespace segments — into its postings
+(bm25_index.go:159-166). Here tokens are the WORDLIKE segments only
+(Unicode word characters), equivalent to uax29 + a wordlike filter; doc
+lengths therefore count words, not whitespace runs.
+
+Engine: postings build incrementally into per-term (doc, tf) arrays; a
+query scores by accumulating vectorized per-term contributions into a dense
+score vector (one fused numpy pass per term — the reference iterates
+roaring bitmaps doc-by-doc). Deletions/filters are packed-bitset masks.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import threading
+import unicodedata
+from typing import BinaryIO, Iterable
+
+import numpy as np
+
+from comet_tpu.core.aggregation import aggregate_scores
+from comet_tpu.core.filter import DocumentFilter
+from comet_tpu.core.limiter import autocut_results, limit_results
+from comet_tpu.core.results import TextResult
+from comet_tpu.io import serial
+from comet_tpu.ops.bitset import Bitset
+from comet_tpu.types import (
+    InvalidConfigError,
+    NodeNotFoundError,
+    ScoreAggregationKind,
+)
+
+MAGIC = b"CB25"
+VERSION = 1
+
+K1 = 1.2  # bm25_index.go:75-80
+B = 0.75
+
+_WORD_RE = re.compile(r"[\w]+", re.UNICODE)
 
 
-class BM25SearchIndex:  # pragma: no cover - stub
-    def __init__(self, *a, **k):
-        raise NotImplementedError("BM25SearchIndex: coming in the BM25 milestone")
+def normalize(text: str) -> str:
+    """NFKC + lowercase (bm25_index.go:154-156)."""
+    return unicodedata.normalize("NFKC", text).lower()
+
+
+def tokenize(text: str) -> list[str]:
+    """Wordlike tokens from normalized text (see module docstring)."""
+    return _WORD_RE.findall(text)
+
+
+class _Postings:
+    """Per-term postings with incremental build + compiled array cache."""
+
+    __slots__ = ("tf", "_ids", "_tfs", "_dirty")
+
+    def __init__(self):
+        self.tf: dict[int, int] = {}
+        self._ids: np.ndarray | None = None
+        self._tfs: np.ndarray | None = None
+        self._dirty = True
+
+    def bump(self, doc_id: int, count: int = 1) -> None:
+        self.tf[doc_id] = self.tf.get(doc_id, 0) + count
+        self._dirty = True
+
+    def drop(self, doc_id: int) -> None:
+        if self.tf.pop(doc_id, None) is not None:
+            self._dirty = True
+
+    def arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._dirty:
+            if self.tf:
+                ids = np.fromiter(self.tf.keys(), dtype=np.uint32, count=len(self.tf))
+                tfs = np.fromiter(self.tf.values(), dtype=np.float64, count=len(self.tf))
+            else:
+                ids = np.zeros(0, dtype=np.uint32)
+                tfs = np.zeros(0, dtype=np.float64)
+            self._ids, self._tfs = ids, tfs
+            self._dirty = False
+        return self._ids, self._tfs
+
+    @property
+    def df(self) -> int:
+        return len(self.tf)
+
+
+class BM25SearchIndex:
+    """BM25 text index (reference: bm25_index.go:98-122)."""
+
+    def __init__(self):
+        self._postings: dict[str, _Postings] = {}
+        self._doc_tokens: dict[int, list[str]] = {}
+        self._doc_len: dict[int, int] = {}
+        self._deleted = Bitset()
+        self._num_docs = 0
+        self._total_tokens = 0
+        self._lock = threading.RLock()
+        self._len_version = 0
+        self._len_cache: tuple[int, np.ndarray] | None = None
+
+    # -- contracts -----------------------------------------------------------
+
+    def trained(self) -> bool:
+        return True
+
+    def train(self, *_args) -> None:
+        return None
+
+    def count(self) -> int:
+        """Active (non-soft-deleted) document count."""
+        with self._lock:
+            return self._num_docs - self._deleted.count()
+
+    @property
+    def avg_doc_len(self) -> float:
+        with self._lock:
+            return self._total_tokens / self._num_docs if self._num_docs else 0.0
+
+    # -- mutation --------------------------------------------------------------
+
+    def add(self, doc_id: int, text: str) -> None:
+        """Index a document; replaces an existing doc with the same ID
+        (bm25_index.go:188-226)."""
+        with self._lock:
+            doc_id = int(doc_id)
+            if doc_id in self._doc_tokens:
+                self._remove_internal(doc_id)
+            self._deleted.discard(doc_id)
+            tokens = tokenize(normalize(text))
+            self._doc_tokens[doc_id] = tokens
+            self._doc_len[doc_id] = len(tokens)
+            self._num_docs += 1
+            self._total_tokens += len(tokens)
+            for t in tokens:
+                p = self._postings.get(t)
+                if p is None:
+                    p = self._postings[t] = _Postings()
+                p.bump(doc_id)
+            self._len_version += 1
+
+    def add_batch(self, ids: Iterable[int], texts: Iterable[str]) -> None:
+        for i, t in zip(ids, texts):
+            self.add(i, t)
+
+    def remove(self, doc_id: int) -> None:
+        """Soft delete: scoring skips the doc, but N/df/avgdl keep counting it
+        until flush (parity: bm25_index.go:253-278)."""
+        with self._lock:
+            doc_id = int(doc_id)
+            if doc_id not in self._doc_tokens or self._deleted.contains(doc_id):
+                return
+            self._deleted.add(doc_id)
+
+    def _remove_internal(self, doc_id: int) -> None:
+        tokens = self._doc_tokens.pop(doc_id, None)
+        if tokens is None:
+            return
+        doc_len = self._doc_len.pop(doc_id)
+        for t in set(tokens):
+            p = self._postings.get(t)
+            if p is not None:
+                p.drop(doc_id)
+                if not p.tf:
+                    del self._postings[t]
+        self._num_docs -= 1
+        self._total_tokens -= doc_len
+        if self._num_docs <= 0:
+            self._num_docs = 0
+            self._total_tokens = 0
+        self._len_version += 1
+
+    def flush(self) -> None:
+        """Hard-delete all soft-deleted docs (bm25_index.go:374-399)."""
+        with self._lock:
+            for doc_id in self._deleted.to_array().tolist():
+                self._remove_internal(int(doc_id))
+            self._deleted = Bitset()
+
+    # -- search ---------------------------------------------------------------
+
+    def new_search(self) -> "BM25SearchBuilder":
+        return BM25SearchBuilder(self)
+
+    def _doc_len_array(self) -> np.ndarray:
+        """Dense doc-length array [max_id+1] (rebuilt on change)."""
+        if self._len_cache is None or self._len_cache[0] != self._len_version:
+            size = (max(self._doc_len) + 1) if self._doc_len else 1
+            arr = np.zeros(size, dtype=np.float64)
+            for d, l in self._doc_len.items():
+                arr[d] = l
+            self._len_cache = (self._len_version, arr)
+        return self._len_cache[1]
+
+    def _search_single(
+        self,
+        query: str,
+        doc_filter: DocumentFilter,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """One query -> (doc_ids, scores) of ALL matching docs, unsorted.
+
+        Mirrors the scoring loop at bm25_index_search.go:299-327, but each
+        term contributes one vectorized pass over its postings arrays.
+        """
+        qtokens = tokenize(normalize(query))
+        n = float(self._num_docs)
+        if not qtokens or n == 0:
+            return np.zeros(0, dtype=np.uint32), np.zeros(0, dtype=np.float64)
+
+        doc_len = self._doc_len_array()
+        avgdl = self._total_tokens / n
+        size = len(doc_len)
+        scores = np.zeros(size, dtype=np.float64)
+        touched = np.zeros(size, dtype=bool)
+
+        for t in qtokens:
+            p = self._postings.get(t)
+            if p is None:
+                continue
+            df = float(p.df)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            ids, tfs = p.arrays()
+            dl = doc_len[ids]
+            contrib = idf * (tfs * (K1 + 1.0)) / (
+                tfs + K1 * (1.0 - B + B * (dl / avgdl))
+            )
+            scores[ids] += contrib
+            touched[ids] = True
+
+        # mask soft-deleted + doc filter
+        cand = np.flatnonzero(touched).astype(np.uint32)
+        if cand.size:
+            keep = ~self._deleted.contains_many(cand)
+            if doc_filter.enabled:
+                keep &= doc_filter.slot_mask(cand)
+            cand = cand[keep]
+        return cand, scores[cand]
+
+    def _lookup_node_texts(self, node_ids: list[int]) -> list[str]:
+        """More-like-this: rebuild query text from stored tokens
+        (bm25_index_search.go:233-261)."""
+        out = []
+        for node_id in node_ids:
+            node_id = int(node_id)
+            if node_id not in self._doc_tokens or self._deleted.contains(node_id):
+                raise NodeNotFoundError(f"document ID {node_id} not found in index")
+            out.append(" ".join(self._doc_tokens[node_id]))
+        return out
+
+    # -- serialization ----------------------------------------------------------
+
+    def write_to(self, f: BinaryIO) -> None:
+        """CB25 v1: per-doc token streams (postings are rebuilt on load).
+        Flushes soft deletes first."""
+        with self._lock:
+            self.flush()
+            serial.write_magic(f, MAGIC, VERSION)
+            serial.write_u64(f, len(self._doc_tokens))
+            for doc_id in sorted(self._doc_tokens):
+                serial.write_u32(f, doc_id)
+                serial.write_str(f, " ".join(self._doc_tokens[doc_id]))
+
+    def read_from(self, f: BinaryIO) -> None:
+        serial.read_magic(f, MAGIC, VERSION)
+        n = serial.read_u64(f)
+        with self._lock:
+            self.__init__()
+            for _ in range(n):
+                doc_id = serial.read_u32(f)
+                self.add(doc_id, serial.read_str(f))
+
+
+class BM25SearchBuilder:
+    """Fluent text search (reference: bm25_index_search.go:19-175)."""
+
+    def __init__(self, index: BM25SearchIndex):
+        self._index = index
+        self._queries: list[str] = []
+        self._node_ids: list[int] = []
+        self._k = 10
+        self._aggregation = ScoreAggregationKind.SUM
+        self._cutoff = -1
+        self._document_ids: list[int] | None = None
+
+    def with_query(self, *queries: str) -> "BM25SearchBuilder":
+        self._queries.extend(queries)
+        return self
+
+    def with_node(self, *node_ids: int) -> "BM25SearchBuilder":
+        self._node_ids.extend(int(i) for i in node_ids)
+        return self
+
+    def with_k(self, k: int) -> "BM25SearchBuilder":
+        self._k = int(k)
+        return self
+
+    def with_score_aggregation(self, kind: ScoreAggregationKind) -> "BM25SearchBuilder":
+        self._aggregation = ScoreAggregationKind(kind)
+        return self
+
+    def with_cutoff(self, cutoff: int) -> "BM25SearchBuilder":
+        self._cutoff = int(cutoff)
+        return self
+
+    def with_document_ids(self, doc_ids) -> "BM25SearchBuilder":
+        """Accepts an iterable of IDs or a packed Bitset (stays packed)."""
+        if isinstance(doc_ids, Bitset):
+            self._document_ids = doc_ids
+        else:
+            self._document_ids = [int(i) for i in doc_ids]
+        return self
+
+    def execute(self) -> list[TextResult]:
+        if not self._queries and not self._node_ids:
+            raise InvalidConfigError("must specify either queries or node IDs")
+
+        with self._index._lock:
+            queries = list(self._queries)
+            if self._node_ids:
+                queries.extend(self._index._lookup_node_texts(self._node_ids))
+
+            doc_filter = DocumentFilter(self._document_ids)
+            all_ids: list[np.ndarray] = []
+            all_scores: list[np.ndarray] = []
+            for q in queries:
+                ids, scores = self._index._search_single(q, doc_filter)
+                if ids.size == 0:
+                    continue
+                # per-query top-k BEFORE aggregation (parity with
+                # searchSingleQuery returning k results per query)
+                if 0 < self._k < ids.size:
+                    order = np.lexsort((ids, -scores))[: self._k]
+                    ids, scores = ids[order], scores[order]
+                all_ids.append(ids)
+                all_scores.append(scores)
+
+        if not all_ids:
+            return []
+        ids = np.concatenate(all_ids)
+        scores = np.concatenate(all_scores).astype(np.float32)
+        uids, uscores = aggregate_scores(ids, scores, self._aggregation, ascending=False)
+        results = [TextResult(int(i), float(s)) for i, s in zip(uids, uscores)]
+        results = limit_results(results, self._k)
+        results = autocut_results(results, self._cutoff)
+        return results
