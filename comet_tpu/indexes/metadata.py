@@ -295,6 +295,13 @@ class RoaringMetadataIndex:
                 if bs is not None:
                     result.iandnot(bs)
             return result
+        if op in ("gt", "gte", "lt", "lte", "range"):
+            # Numeric operator on a field this index has never seen as
+            # numeric: no matches. (The reference errors here, which makes a
+            # hybrid/LSM search fail whenever ANY source — e.g. an empty
+            # memtable — lacks the field; returning empty is the sane LSM
+            # semantics.)
+            return Bitset()
         raise InvalidConfigError(f"unsupported operator for categorical field: {op}")
 
     def _eval_numeric(self, bsi: BSI, f: Filter) -> Bitset:

@@ -1,0 +1,350 @@
+"""PersistentHybridIndex: LSM-style durable hybrid search.
+
+Parity with storage.go: write path Add -> active memtable -> size-triggered
+flush signal (:233-250,632-643); background flush + compaction workers
+(:802-842); flush serializes a frozen memtable to 4 gzip files (:682-799);
+read path searches memtables newest-first then all segments in parallel and
+merges (:489-629); LOCK-file single-process exclusivity; Close = final
+flush + release lock (:849-870). Defaults: 100 MB memtable / 200 MB flush
+threshold / 5-min compaction tick / 5-segment threshold (:72-84).
+
+Divergences (deliberate, documented):
+- Compaction MERGES FOR REAL (exact index-level copies, storage/merge.py);
+  the reference's compaction writes an empty index and deletes the source
+  segments, losing data (storage_compaction.go:66-72).
+- Remove() covers every memtable, not just the active one.
+- Segment-search errors are logged, not silently dropped (storage.go:563-566).
+- Memtables get fresh indexes from factories (see storage/memtable.py).
+"""
+
+from __future__ import annotations
+
+import copy
+import gzip
+import io
+import logging
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+
+from comet_tpu.hybrid import HybridSearchBuilder, HybridSearchIndex, HybridSearchResult
+from comet_tpu.storage.memtable import Memtable, MemtableQueue
+from comet_tpu.storage.merge import merge_hybrid, merge_results
+from comet_tpu.storage.provider import StorageProvider
+from comet_tpu.storage.segment import SegmentManager, SegmentMetadata
+from comet_tpu.types import CometError, InvalidConfigError
+
+log = logging.getLogger("comet_tpu.storage")
+
+DEFAULT_MEMTABLE_SIZE_LIMIT = 100 * 1024 * 1024
+DEFAULT_FLUSH_THRESHOLD = 200 * 1024 * 1024
+DEFAULT_COMPACTION_INTERVAL = 300.0
+DEFAULT_COMPACTION_THRESHOLD = 5
+
+
+@dataclass
+class StorageConfig:
+    """Storage knobs (storage.go:87-118), with index FACTORIES instead of
+    shared template instances."""
+
+    base_dir: str
+    memtable_size_limit: int = DEFAULT_MEMTABLE_SIZE_LIMIT
+    flush_threshold: int = DEFAULT_FLUSH_THRESHOLD
+    compaction_interval: float = DEFAULT_COMPACTION_INTERVAL
+    compaction_threshold: int = DEFAULT_COMPACTION_THRESHOLD
+    vector_index_factory: Callable[[], Any] | None = None
+    text_index_factory: Callable[[], Any] | None = None
+    metadata_index_factory: Callable[[], Any] | None = None
+
+
+def default_storage_config(base_dir: str) -> StorageConfig:
+    return StorageConfig(base_dir=base_dir)
+
+
+class StorageClosedError(CometError):
+    pass
+
+
+class PersistentHybridIndex:
+    """Durable hybrid index with the same fluent search surface."""
+
+    def __init__(self, config: StorageConfig):
+        if config is None:
+            raise InvalidConfigError("config cannot be nil")
+        self.config = config
+        self.provider = StorageProvider(config.base_dir)
+        self.segments = SegmentManager()
+        self._trained_vector_blob: bytes | None = None
+        self._closed = False
+        self._mu = threading.RLock()
+
+        for sid in self.provider.list_segments():
+            self.segments.add(
+                SegmentMetadata(sid, self.provider.segment_paths(sid), self._make_index)
+            )
+
+        self.memtables = MemtableQueue(self._make_index, config.memtable_size_limit)
+
+        self._flush_event = threading.Event()
+        self._compact_event = threading.Event()
+        self._stop = threading.Event()
+        self._flush_thread = threading.Thread(target=self._flush_worker, daemon=True)
+        self._compact_thread = threading.Thread(
+            target=self._compaction_worker, daemon=True
+        )
+        self._flush_thread.start()
+        self._compact_thread.start()
+
+    # -- index construction ----------------------------------------------------
+
+    def _make_vector_index(self):
+        if self.config.vector_index_factory is None:
+            return None
+        idx = self.config.vector_index_factory()
+        if self._trained_vector_blob is not None:
+            idx.read_from(io.BytesIO(self._trained_vector_blob))
+        return idx
+
+    def _make_index(self) -> HybridSearchIndex:
+        return HybridSearchIndex(
+            self._make_vector_index(),
+            self.config.text_index_factory() if self.config.text_index_factory else None,
+            self.config.metadata_index_factory()
+            if self.config.metadata_index_factory
+            else None,
+        )
+
+    # -- write path ------------------------------------------------------------
+
+    def _check_open(self):
+        if self._closed:
+            raise StorageClosedError("storage is closed")
+
+    def add(self, vector=None, text: str = "", metadata=None) -> int:
+        self._check_open()
+        doc_id = self.memtables.add(vector, text, metadata)
+        self._maybe_schedule_flush()
+        return doc_id
+
+    def add_with_id(self, doc_id: int, vector=None, text: str = "", metadata=None) -> None:
+        self._check_open()
+        self.memtables.add_with_id(doc_id, vector, text, metadata)
+        self._maybe_schedule_flush()
+
+    def remove(self, doc_id: int) -> bool:
+        """Remove from memtables. Docs already flushed to immutable segments
+        are NOT removed (LSM limitation shared with the reference, which only
+        covers the ACTIVE memtable, storage.go:278-296)."""
+        self._check_open()
+        return self.memtables.remove(doc_id)
+
+    def train(self, vectors: np.ndarray) -> None:
+        """Train the vector template; every future memtable/segment index
+        clones the trained state (storage.go:328-347 trains its shared
+        template instance)."""
+        self._check_open()
+        if self.config.vector_index_factory is None:
+            raise InvalidConfigError("no vector index configured")
+        template = self.config.vector_index_factory()
+        template.train(vectors)
+        buf = io.BytesIO()
+        template.write_to(buf)
+        self._trained_vector_blob = buf.getvalue()
+        # the current mutable memtable was created untrained; rotate it out
+        # if empty so new writes land on a trained index
+        with self.memtables._mu:
+            if self.memtables.mutable.num_docs == 0:
+                self.memtables.queue.remove(self.memtables.mutable)
+                self.memtables.mutable = Memtable(
+                    self._make_index(), self.config.memtable_size_limit
+                )
+                self.memtables.queue.append(self.memtables.mutable)
+
+    def _maybe_schedule_flush(self) -> None:
+        if self.memtables.total_size() >= self.config.flush_threshold:
+            self._flush_event.set()
+
+    # -- flush -----------------------------------------------------------------
+
+    def flush(self) -> None:
+        """Freeze the active memtable (if non-empty) and flush all frozen
+        memtables to segments (storage.go:650-679)."""
+        self._check_open()
+        if self.memtables.mutable.num_docs > 0:
+            self.memtables.rotate()
+        self._flush_frozen()
+
+    def _flush_frozen(self) -> None:
+        for mt in self.memtables.list_frozen():
+            try:
+                self._flush_memtable(mt)
+            except Exception:  # pragma: no cover - defensive
+                log.exception("flush of memtable failed")
+
+    def _flush_memtable(self, mt: Memtable) -> None:
+        """Serialize one frozen memtable to 4 gzip files (storage.go:682-799)."""
+        if mt.num_docs == 0 or mt.index.count() == 0:
+            self.memtables.drop(mt)
+            return
+        sid = self.provider.next_segment_id()
+        paths = self.provider.segment_paths(sid)
+        streams = {k: gzip.open(p, "wb") for k, p in paths.items()}
+        try:
+            mt.index.write_to(
+                streams["hybrid"], streams["vector"], streams["text"], streams["metadata"]
+            )
+        finally:
+            for s in streams.values():
+                s.close()
+        segment = SegmentMetadata(sid, paths, self._make_index)
+        segment._cached = mt.index  # already in memory; no need to reload
+        self.segments.add(segment)
+        self.memtables.drop(mt)
+
+    def _flush_worker(self) -> None:
+        while not self._stop.is_set():
+            if self._flush_event.wait(timeout=0.1):
+                self._flush_event.clear()
+                try:
+                    self.flush()
+                except StorageClosedError:
+                    return
+                except Exception:  # pragma: no cover - defensive
+                    log.exception("background flush failed")
+
+    # -- compaction --------------------------------------------------------------
+
+    def trigger_compaction(self) -> None:
+        self._compact_event.set()
+
+    def _compaction_worker(self) -> None:
+        while not self._stop.is_set():
+            if self._compact_event.wait(timeout=self.config.compaction_interval):
+                self._compact_event.clear()
+            if self._stop.is_set():
+                return
+            try:
+                self.maybe_compact()
+            except StorageClosedError:
+                return
+            except Exception:  # pragma: no cover - defensive
+                log.exception("background compaction failed")
+
+    def maybe_compact(self) -> None:
+        """Merge the oldest `compaction_threshold` segments into one —
+        for REAL (the reference's merge is a data-losing stub,
+        storage_compaction.go:66-72)."""
+        with self._mu:
+            self._check_open()
+            candidates = self.segments.list()
+            if len(candidates) < self.config.compaction_threshold:
+                return
+            to_merge = candidates[: self.config.compaction_threshold]
+
+            merged = self._make_index()
+            seen: set[int] = set()
+            # newest source first => newest version of a doc wins
+            for seg in reversed(to_merge):
+                seen |= merge_hybrid(merged, seg.get_index(), seen)
+
+            sid = self.provider.next_segment_id()
+            paths = self.provider.segment_paths(sid)
+            streams = {k: gzip.open(p, "wb") for k, p in paths.items()}
+            try:
+                merged.write_to(
+                    streams["hybrid"], streams["vector"], streams["text"],
+                    streams["metadata"],
+                )
+            finally:
+                for s in streams.values():
+                    s.close()
+            new_seg = SegmentMetadata(sid, paths, self._make_index)
+            new_seg._cached = merged
+            self.segments.add(new_seg)
+            for seg in to_merge:
+                self.segments.remove(seg.segment_id)
+                self.provider.delete_segment(seg.segment_id)
+
+    # -- read path ---------------------------------------------------------------
+
+    def new_search(self) -> "PersistentHybridSearchBuilder":
+        self._check_open()
+        return PersistentHybridSearchBuilder(self)
+
+    def _search_all_sources(self, builder: HybridSearchBuilder, k: int) -> list[HybridSearchResult]:
+        # memtables newest first, then segments (parallel), storage.go:489-629
+        sources: list[HybridSearchIndex] = [
+            mt.index for mt in reversed(self.memtables.list_all())
+        ]
+        segments = self.segments.list()
+
+        def run(index: HybridSearchIndex):
+            b = copy.copy(builder)
+            b._index = index
+            # call the base implementation: the persistent builder's own
+            # execute() is the fan-out entry point
+            return HybridSearchBuilder.execute(b)
+
+        result_lists = [run(idx) for idx in sources]
+        if segments:
+            with ThreadPoolExecutor(max_workers=min(8, len(segments))) as pool:
+                futures = [pool.submit(run, seg.get_index()) for seg in segments]
+                for fut in futures:
+                    try:
+                        result_lists.append(fut.result())
+                    except Exception:
+                        log.exception("segment search failed")
+
+        vector_only = builder._vector_query is not None and not builder._text_queries
+        return merge_results(result_lists, k, descending=not vector_only)
+
+    # -- lifecycle / stats --------------------------------------------------------
+
+    def stats(self) -> dict[str, int]:
+        return {
+            "memtables": self.memtables.count(),
+            "memtable_bytes": self.memtables.total_size(),
+            "segments": self.segments.count(),
+            "segment_bytes": self.segments.total_size(),
+        }
+
+    def close(self) -> None:
+        """Final flush, stop workers, release the lock (storage.go:849-870)."""
+        with self._mu:
+            if self._closed:
+                return
+            try:
+                self.flush()
+            finally:
+                self._closed = True
+        self._stop.set()
+        self._flush_event.set()
+        self._compact_event.set()
+        self._flush_thread.join(timeout=5)
+        self._compact_thread.join(timeout=5)
+        self.provider.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def open_persistent_hybrid_index(config: StorageConfig) -> PersistentHybridIndex:
+    return PersistentHybridIndex(config)
+
+
+class PersistentHybridSearchBuilder(HybridSearchBuilder):
+    """Same fluent surface; fans out over memtables + segments and merges."""
+
+    def __init__(self, store: PersistentHybridIndex):
+        super().__init__(index=None)  # bound per-source at execute time
+        self._store = store
+
+    def execute(self) -> list[HybridSearchResult]:
+        self._store._check_open()
+        return self._store._search_all_sources(self, self._k)

@@ -1,0 +1,95 @@
+"""Filesystem provider: directory layout, LOCK file, segment files.
+
+Parity with storage_provider.go: O_EXCL LOCK file containing the pid for
+single-process exclusivity (:62-83), segment file naming
+``{hybrid,vector,text,metadata}_{id:06d}.bin.gz`` (:161-168), counter
+re-initialization by scanning the directory (:108-141).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import threading
+
+from comet_tpu.types import CometError
+
+LOCK_FILE = "LOCK"
+_SEGMENT_RE = re.compile(r"^hybrid_(\d{6})\.bin\.gz$")
+KINDS = ("hybrid", "vector", "text", "metadata")
+
+
+class StorageLockedError(CometError):
+    """Another process holds the directory lock."""
+
+
+class StorageProvider:
+    def __init__(self, base_dir: str):
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+        self._lock_path = os.path.join(base_dir, LOCK_FILE)
+        self._acquire_lock()
+        self._mu = threading.Lock()
+        self._next_id = self._scan_max_id() + 1
+
+    # -- locking -----------------------------------------------------------
+
+    def _acquire_lock(self) -> None:
+        try:
+            fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                with open(self._lock_path) as f:
+                    holder = f.read().strip()
+            except OSError:
+                holder = "unknown"
+            raise StorageLockedError(
+                f"storage directory {self.base_dir} is locked by pid {holder}"
+            )
+        with os.fdopen(fd, "w") as f:
+            f.write(str(os.getpid()))
+
+    def close(self) -> None:
+        try:
+            os.remove(self._lock_path)
+        except FileNotFoundError:
+            pass
+
+    # -- segments ----------------------------------------------------------
+
+    def _scan_max_id(self) -> int:
+        max_id = -1
+        for name in os.listdir(self.base_dir):
+            m = _SEGMENT_RE.match(name)
+            if m:
+                max_id = max(max_id, int(m.group(1)))
+        return max_id
+
+    def next_segment_id(self) -> int:
+        with self._mu:
+            sid = self._next_id
+            self._next_id += 1
+            return sid
+
+    def segment_paths(self, segment_id: int) -> dict[str, str]:
+        return {
+            kind: os.path.join(self.base_dir, f"{kind}_{segment_id:06d}.bin.gz")
+            for kind in KINDS
+        }
+
+    def list_segments(self) -> list[int]:
+        """Sorted existing segment IDs (oldest first)."""
+        ids = []
+        for name in os.listdir(self.base_dir):
+            m = _SEGMENT_RE.match(name)
+            if m:
+                ids.append(int(m.group(1)))
+        ids.sort()
+        return ids
+
+    def delete_segment(self, segment_id: int) -> None:
+        for path in self.segment_paths(segment_id).values():
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
