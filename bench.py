@@ -1,14 +1,13 @@
-"""Headline benchmark: flat exact-scan QPS on SIFT1M-shape data.
+"""Benchmarks vs the reference's published numbers (BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default run: the headline metric — flat exact-scan QPS on SIFT1M-shape data
+(1M x 128-d, L2, k=100; reference: 22 QPS single-core Go on Apple M2 Pro,
+docs/INDEX.md:694-700) — printed as ONE JSON line on stdout:
+    {"metric", "value", "unit", "vs_baseline"}
 
-Baseline (BASELINE.md): the reference's flat search on SIFT1M (1M x 128-d,
-L2, k=100) runs at 45 ms/query = 22 QPS single-core Go on an Apple M2 Pro
-(docs/INDEX.md:694-700). Here the same workload is a tiled query x corpus
-MXU matmul with streaming top-k; throughput is measured over batched
-independent queries (the TPU-native serving shape).
-
-Extra per-index numbers are printed to stderr as they come online.
+`python bench.py --all` additionally benchmarks IVF / PQ / IVFPQ / HNSW /
+BM25 / metadata / hybrid with recall@10 against the exact oracle, printing a
+table to stderr (results recorded in BENCHMARKS.md).
 """
 
 import json
@@ -29,43 +28,169 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_flat():
-    import jax
+def gen_data(n=N, dim=DIM, seed=0):
+    rng = np.random.default_rng(seed)
+    corpus = rng.integers(0, 256, size=(n, dim)).astype(np.float32)
+    queries = rng.integers(0, 256, size=(BATCH, dim)).astype(np.float32)
+    return corpus, queries
 
+
+def time_search(idx, queries, k, rounds=ROUNDS, **kw):
+    ids, _ = idx.search_batch(queries, k=k, **kw)  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        ids, _ = idx.search_batch(queries, k=k, **kw)
+    dt = time.perf_counter() - t0
+    qps = rounds * len(queries) / dt
+    return qps, ids
+
+
+def recall(found_ids, true_ids):
+    hits = sum(
+        len(set(f.tolist()) & set(t.tolist())) for f, t in zip(found_ids, true_ids)
+    )
+    return hits / true_ids.size
+
+
+def bench_flat(corpus, queries, storage="float32"):
     from comet_tpu.indexes.flat import FlatIndex
     from comet_tpu.types import DistanceKind
 
-    rng = np.random.default_rng(0)
-    log(f"generating {N}x{DIM} corpus...")
-    # SIFT-like: non-negative, integer-ish magnitudes
-    corpus = rng.integers(0, 256, size=(N, DIM)).astype(np.float32)
-    queries = rng.integers(0, 256, size=(BATCH, DIM)).astype(np.float32)
-
-    idx = FlatIndex(DIM, DistanceKind.L2)
+    idx = FlatIndex(DIM, DistanceKind.L2, storage=storage)
     t0 = time.perf_counter()
     idx.add_batch(corpus)
-    log(f"add_batch(1M): {time.perf_counter() - t0:.2f}s")
+    log(f"flat[{storage}] add_batch(1M): {time.perf_counter() - t0:.2f}s")
+    qps, ids = time_search(idx, queries, K)
+    log(f"flat[{storage}] exact k={K}: {qps:.1f} QPS ({1e3 / qps:.3f} ms/query)")
+    return qps, ids
 
-    # Warmup: device sync + compile
-    t0 = time.perf_counter()
-    ids, scores = idx.search_batch(queries, k=K)
-    log(f"warmup search (sync+compile): {time.perf_counter() - t0:.2f}s")
-    assert ids.shape == (BATCH, K)
 
+def bench_all(corpus, queries, truth_ids):
+    from comet_tpu.indexes.bm25 import BM25SearchIndex
+    from comet_tpu.indexes.hnsw import HNSWConfig, HNSWIndex
+    from comet_tpu.indexes.ivf import IVFIndex
+    from comet_tpu.indexes.ivfpq import IVFPQIndex
+    from comet_tpu.indexes.metadata import RoaringMetadataIndex, eq, gte
+    from comet_tpu.indexes.pq import PQIndex
+    from comet_tpu.core.node import new_metadata_node_with_id
+    from comet_tpu.types import DistanceKind
+
+    truth10 = truth_ids[:, :10]
+    results = {}
+
+    # bf16 flat
+    qps, ids = bench_flat(corpus, queries, storage="bfloat16")
+    results["flat_bf16"] = (qps, recall(ids[:, :10], truth10))
+
+    # IVF nlist=1024 (baseline: train 38.5s, add 82s, nprobe10 150ms/89.2%)
+    idx = IVFIndex(DIM, 1024, DistanceKind.L2)
     t0 = time.perf_counter()
-    total_q = 0
-    for r in range(ROUNDS):
-        ids, scores = idx.search_batch(queries, k=K)
-        total_q += BATCH
+    idx.train(corpus[:100_000])
+    t_train = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    idx.add_batch(corpus)
+    t_add = time.perf_counter() - t0
+    log(f"ivf train(100k): {t_train:.2f}s  add(1M): {t_add:.2f}s")
+    for nprobe in (1, 8, 32):
+        qps, ids = time_search(idx, queries, 10, nprobes=nprobe)
+        rec = recall(ids[:, :10], truth10)
+        log(f"ivf nprobe={nprobe}: {qps:.1f} QPS, recall@10={rec:.3f}")
+        results[f"ivf_nprobe{nprobe}"] = (qps, rec)
+    del idx
+
+    # PQ m=16 nbits=8 (baseline: train 3.2s, add 24.5s, 122 QPS / 91.3%)
+    idx = PQIndex(DIM, DistanceKind.L2, m=16, nbits=8)
+    t0 = time.perf_counter()
+    idx.train(corpus[:100_000])
+    t_train = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    idx.add_batch(corpus)
+    t_add = time.perf_counter() - t0
+    log(f"pq train(100k): {t_train:.2f}s  add(1M): {t_add:.2f}s")
+    qps, ids = time_search(idx, queries, 10)
+    rec = recall(ids[:, :10], truth10)
+    log(f"pq m=16: {qps:.1f} QPS, recall@10={rec:.3f}")
+    results["pq_m16"] = (qps, rec)
+    del idx
+
+    # IVFPQ nlist=1024 m=16 (baseline: 312 QPS / 89.7% at nprobe=10)
+    idx = IVFPQIndex(DIM, DistanceKind.L2, nlist=1024, m=16, nbits=8)
+    t0 = time.perf_counter()
+    idx.train(corpus[:100_000])
+    t_train = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    idx.add_batch(corpus)
+    t_add = time.perf_counter() - t0
+    log(f"ivfpq train(100k): {t_train:.2f}s  add(1M): {t_add:.2f}s")
+    for nprobe in (8, 32):
+        qps, ids = time_search(idx, queries, 10, nprobes=nprobe)
+        rec = recall(ids[:, :10], truth10)
+        log(f"ivfpq nprobe={nprobe}: {qps:.1f} QPS, recall@10={rec:.3f}")
+        results[f"ivfpq_nprobe{nprobe}"] = (qps, rec)
+    del idx
+
+    # HNSW M=16 efC=200 (baseline: build 5000s=200vec/s; ef50 2380QPS/93.4%@100)
+    idx = HNSWIndex(DIM, DistanceKind.L2, HNSWConfig(m=16, ef_construction=128, ef_search=128))
+    t0 = time.perf_counter()
+    idx.add_batch(corpus)
+    t_build = time.perf_counter() - t0
+    log(f"hnsw build(1M): {t_build:.1f}s ({N / t_build:.0f} vec/s)")
+    for ef in (32, 64, 128):
+        qps, ids = time_search(idx, queries[:512], 10, ef_search=ef)
+        rec = recall(ids[:, :10], truth10[:512])
+        log(f"hnsw ef={ef}: {qps:.1f} QPS, recall@10={rec:.3f}")
+        results[f"hnsw_ef{ef}"] = (qps, rec)
+    del idx
+
+    # BM25 (baseline: 2000 docs/s index; 3-12 ms/query)
+    rng = np.random.default_rng(1)
+    vocab = [f"term{i}" for i in range(50_000)]
+    n_docs = 200_000
+    t0 = time.perf_counter()
+    bm = BM25SearchIndex()
+    zipf = rng.zipf(1.3, size=(n_docs, 40)) % len(vocab)
+    for i in range(n_docs):
+        bm.add(i + 1, " ".join(vocab[t] for t in zipf[i]))
+    t_index = time.perf_counter() - t0
+    log(f"bm25 index {n_docs} docs: {t_index:.1f}s ({n_docs / t_index:.0f} docs/s)")
+    t0 = time.perf_counter()
+    nq = 200
+    for i in range(nq):
+        bm.new_search().with_query(f"term{i % 100} term{(i * 7) % 1000}").with_k(10).execute()
     dt = time.perf_counter() - t0
-    qps = total_q / dt
-    log(f"flat exact k={K}: {total_q} queries in {dt:.3f}s -> {qps:.1f} QPS "
-        f"({1e3 * dt / total_q:.3f} ms/query amortized)")
-    return qps
+    log(f"bm25 2-term query: {1e3 * dt / nq:.2f} ms/query ({nq / dt:.0f} QPS)")
+    results["bm25_2term"] = (nq / dt, None)
+
+    # Metadata (baseline: 1-filter 45us, 4-filter 180us on 10M)
+    mi = RoaringMetadataIndex()
+    cats = ["a", "b", "c", "d", "e"]
+    n_meta = 1_000_000
+    prices = rng.integers(0, 10_000, size=n_meta)
+    t0 = time.perf_counter()
+    for i in range(n_meta):
+        mi.add(new_metadata_node_with_id(i + 1, {"cat": cats[i % 5], "price": int(prices[i])}))
+    t_index = time.perf_counter() - t0
+    log(f"metadata add {n_meta}: {t_index:.1f}s ({n_meta / t_index:.0f} docs/s)")
+    t0 = time.perf_counter()
+    nq = 500
+    for i in range(nq):
+        mi.filter_bitset([eq("cat", cats[i % 5]), gte("price", 5000)])
+    dt = time.perf_counter() - t0
+    log(f"metadata 2-filter AND: {1e6 * dt / nq:.0f} us/query ({nq / dt:.0f} QPS)")
+    results["metadata_2filter"] = (nq / dt, None)
+
+    return results
 
 
 def main():
-    qps = bench_flat()
+    run_all = "--all" in sys.argv
+    corpus, queries = gen_data()
+    qps, ids = bench_flat(corpus, queries)
+
+    if run_all:
+        truth_ids = ids  # flat f32 results ARE the exact ground truth
+        bench_all(corpus, queries, truth_ids)
+
     print(json.dumps({
         "metric": "flat_exact_scan_qps_sift1m_k100",
         "value": round(qps, 1),

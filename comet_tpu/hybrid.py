@@ -87,6 +87,18 @@ class HybridSearchIndex:
         with self._lock:
             return int(doc_id) in self._doc_info
 
+    def stats(self) -> dict:
+        with self._lock:
+            out = {"kind": "hybrid", "docs": len(self._doc_info)}
+            for name, idx in (
+                ("vector", self._vector),
+                ("text", self._text),
+                ("metadata", self._metadata),
+            ):
+                if idx is not None and hasattr(idx, "stats"):
+                    out[name] = idx.stats()
+            return out
+
     # -- mutation --------------------------------------------------------------
 
     def add(

@@ -262,6 +262,22 @@ class BaseVectorIndex:
         with self._lock:
             return self._store.live_count
 
+    def stats(self) -> dict:
+        """Observability snapshot (the reference exposes nothing comparable;
+        SURVEY.md §5.1)."""
+        with self._lock:
+            s = self._store
+            return {
+                "kind": self.kind().value,
+                "dim": self._dim,
+                "distance": self._distance_kind.value,
+                "live": s.live_count,
+                "soft_deleted": s.deleted,
+                "capacity": s.capacity,
+                "host_bytes": int(s.vectors.nbytes + s.ids.nbytes + s.valid.nbytes),
+                "device_synced": s._dev_version == s.version,
+            }
+
     def new_search(self) -> VectorSearchBuilder:
         return VectorSearchBuilder(self)
 

@@ -131,6 +131,17 @@ class BM25SearchIndex:
         with self._lock:
             return self._total_tokens / self._num_docs if self._num_docs else 0.0
 
+    def stats(self) -> dict:
+        with self._lock:
+            return {
+                "kind": "bm25",
+                "docs": self._num_docs,
+                "soft_deleted": self._deleted.count(),
+                "terms": len(self._postings),
+                "total_tokens": self._total_tokens,
+                "avg_doc_len": self.avg_doc_len,
+            }
+
     # -- mutation --------------------------------------------------------------
 
     def add(self, doc_id: int, text: str) -> None:

@@ -286,8 +286,11 @@ class IVFIndex(BaseVectorIndex):
                     k_pad, self._distance_kind, nprobe,
                 )
             )
-        scores = np.concatenate([np.asarray(s) for s, _ in chunks])[:q_real, :k_eff]
-        slots_np = np.concatenate([np.asarray(i) for _, i in chunks])[:q_real, :k_eff]
+        import jax
+
+        chunks = jax.device_get(chunks)
+        scores = np.concatenate([s for s, _ in chunks])[:q_real, :k_eff]
+        slots_np = np.concatenate([i for _, i in chunks])[:q_real, :k_eff]
 
         hit = slots_np != int(IDX_SENTINEL)
         ids = np.where(hit, store.ids[np.where(hit, slots_np, 0)], INVALID_ID)

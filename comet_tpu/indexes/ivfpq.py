@@ -382,8 +382,11 @@ class IVFPQIndex(BaseVectorIndex):
                 )
             )
         take = max(k_eff, nrefine)
-        scores = np.concatenate([np.asarray(s) for s, _ in chunks])[:q_real, :take]
-        slots_np = np.concatenate([np.asarray(i) for _, i in chunks])[:q_real, :take]
+        import jax
+
+        chunks = jax.device_get(chunks)
+        scores = np.concatenate([s for s, _ in chunks])[:q_real, :take]
+        slots_np = np.concatenate([i for _, i in chunks])[:q_real, :take]
 
         if nrefine:
             scores, slots_np = self._refine(qprep, scores, slots_np, k_eff)

@@ -256,6 +256,15 @@ class RoaringMetadataIndex:
     def count(self) -> int:
         return self._all_docs.count()
 
+    def stats(self) -> dict:
+        with self._lock:
+            return {
+                "kind": "metadata",
+                "docs": self._all_docs.count(),
+                "categorical_planes": len(self._categorical),
+                "numeric_fields": len(self._numeric),
+            }
+
     # -- filter evaluation -------------------------------------------------
 
     def _existence(self, field: str) -> Bitset:

@@ -66,12 +66,19 @@ def pairwise_scores_from_norms(
     """Like `pairwise_scores` but with precomputed corpus squared norms.
 
     Avoids re-reducing the corpus on every call when it is resident in HBM.
+    When the corpus is stored reduced-precision (bfloat16 fast path), the
+    matmul runs native single-pass bf16 on the MXU; full-f32 inputs keep the
+    exactness-preserving multi-pass precision.
     """
-    ip = jnp.dot(queries, corpus.T, preferred_element_type=jnp.float32,
-                 precision=DEFAULT_PRECISION)
+    reduced = corpus.dtype != jnp.float32
+    q = queries.astype(corpus.dtype) if reduced else queries
+    ip = jnp.dot(
+        q, corpus.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT if reduced else DEFAULT_PRECISION,
+    )
     if kind == DistanceKind.COSINE:
         return 1.0 - jnp.clip(ip, -1.0, 1.0)
-    qn = jnp.sum(queries * queries, axis=1, keepdims=True)
+    qn = jnp.sum(queries * queries, axis=1, keepdims=True).astype(jnp.float32)
     l2sq = jnp.maximum(qn + corpus_sqnorms[None, :] - 2.0 * ip, 0.0)
     if kind == DistanceKind.L2_SQUARED:
         return l2sq

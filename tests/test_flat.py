@@ -289,3 +289,26 @@ def test_capacity_growth(rng):
     assert idx.count() == 3000
     res = idx.new_search().with_query(x[1777]).with_k(1).execute()
     assert res[0].score == pytest.approx(0.0, abs=1e-4)
+
+
+def test_bfloat16_storage_mode(rng):
+    """Reduced-precision storage: high recall vs the f32 oracle."""
+    x = rng.normal(size=(800, 32)).astype(np.float32)
+    q = rng.normal(size=(4, 32)).astype(np.float32)
+    f32 = FlatIndex(32, DistanceKind.L2)
+    f32.add_batch(x, ids=list(range(1, 801)))
+    bf16 = FlatIndex(32, DistanceKind.L2, storage="bfloat16")
+    bf16.add_batch(x, ids=list(range(1, 801)))
+
+    from oracle import recall_at_k
+
+    exact, approx = [], []
+    for qi in range(4):
+        exact.append([r.node.id for r in f32.new_search().with_query(q[qi]).with_k(10).execute()])
+        approx.append([r.node.id for r in bf16.new_search().with_query(q[qi]).with_k(10).execute()])
+    assert recall_at_k(approx, np.array(exact)) >= 0.85
+
+
+def test_invalid_storage_mode():
+    with pytest.raises(InvalidConfigError):
+        FlatIndex(8, DistanceKind.L2, storage="int4")

@@ -231,3 +231,12 @@ def test_serialization_roundtrip():
     assert [(r.id, pytest.approx(r.score, rel=1e-6)) for r in r1] == [
         (r.id, r.score) for r in r2
     ]
+
+
+def test_stats():
+    idx, ids = build_index()
+    s = idx.stats()
+    assert s["docs"] == 5
+    assert s["vector"]["live"] == 5
+    assert s["text"]["docs"] == 5
+    assert s["metadata"]["docs"] == 5
