@@ -38,6 +38,15 @@ def reserve_node_ids(count: int) -> int:
         return first
 
 
+def ensure_node_id_at_least(value: int) -> None:
+    """Bump the auto-increment counter past externally observed IDs (storage
+    recovery: persisted/replayed docs must not collide with fresh auto-IDs —
+    the reference's per-process counter silently reuses IDs after restart)."""
+    global _next_id
+    with _id_lock:
+        _next_id = max(_next_id, int(value))
+
+
 def _reset_node_id_counter() -> None:
     """Test hook: reset the global counter."""
     global _next_id

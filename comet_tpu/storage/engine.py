@@ -58,6 +58,10 @@ class StorageConfig:
     vector_index_factory: Callable[[], Any] | None = None
     text_index_factory: Callable[[], Any] | None = None
     metadata_index_factory: Callable[[], Any] | None = None
+    # Write-ahead logging (crash durability for memtable contents — the
+    # reference has none and loses unflushed writes, SURVEY.md §5.3).
+    wal_enabled: bool = True
+    wal_fsync: bool = False
 
 
 def default_storage_config(base_dir: str) -> StorageConfig:
@@ -86,7 +90,18 @@ class PersistentHybridIndex:
                 SegmentMetadata(sid, self.provider.segment_paths(sid), self._make_index)
             )
 
-        self.memtables = MemtableQueue(self._make_index, config.memtable_size_limit)
+        self._wal_seq = self.provider.max_wal_seq() + 1
+        surviving_wals = self.provider.list_wals() if config.wal_enabled else []
+
+        self.memtables = MemtableQueue(self._make_memtable, config.memtable_size_limit)
+
+        # Crash recovery: replay surviving WALs into the fresh memtable
+        # (records re-log into its new WAL), then discard the old files.
+        if surviving_wals:
+            self._replay_wals(surviving_wals)
+
+        # Never reuse persisted doc IDs for fresh auto-ID adds.
+        self._bump_id_counter()
 
         self._flush_event = threading.Event()
         self._compact_event = threading.Event()
@@ -116,6 +131,78 @@ class PersistentHybridIndex:
             if self.config.metadata_index_factory
             else None,
         )
+
+    def _make_memtable(self) -> Memtable:
+        wal = None
+        if self.config.wal_enabled:
+            from comet_tpu.storage.wal import WalWriter
+
+            wal = WalWriter(
+                self.provider.wal_path(self._wal_seq), fsync=self.config.wal_fsync
+            )
+            self._wal_seq += 1
+        return Memtable(self._make_index(), self.config.memtable_size_limit, wal=wal)
+
+    def _replay_wals(self, paths: list[str]) -> None:
+        from comet_tpu.storage import wal as wal_mod
+
+        replayed = 0
+        for path in paths:
+            for op, doc_id, vector, text, metadata in wal_mod.replay(path):
+                try:
+                    if op == wal_mod.OP_ADD:
+                        self.memtables.add_with_id(doc_id, vector, text, metadata)
+                        replayed += 1
+                    else:
+                        self.memtables.remove(doc_id)
+                except Exception:
+                    log.exception("WAL replay failed for doc %s in %s", doc_id, path)
+        for path in paths:
+            try:
+                import os
+
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+        if replayed:
+            log.info("recovered %d unflushed writes from WAL", replayed)
+
+    def _bump_id_counter(self) -> None:
+        from comet_tpu.core.node import ensure_node_id_at_least
+
+        max_id = 0
+        for mt in self.memtables.list_all():
+            if mt.index._doc_info:
+                max_id = max(max_id, max(mt.index._doc_info))
+        import os
+
+        hint = os.path.join(self.provider.base_dir, "MAXID")
+        try:
+            with open(hint) as f:
+                max_id = max(max_id, int(f.read().strip() or 0))
+        except (OSError, ValueError):
+            pass
+        if max_id:
+            ensure_node_id_at_least(max_id)
+
+    def _persist_max_id(self) -> None:
+        import os
+
+        max_id = 0
+        for seg in self.segments.list():
+            if seg._cached is not None and seg._cached._doc_info:
+                max_id = max(max_id, max(seg._cached._doc_info))
+        for mt in self.memtables.list_all():
+            if mt.index._doc_info:
+                max_id = max(max_id, max(mt.index._doc_info))
+        hint = os.path.join(self.provider.base_dir, "MAXID")
+        try:
+            with open(hint) as f:
+                max_id = max(max_id, int(f.read().strip() or 0))
+        except (OSError, ValueError):
+            pass
+        with open(hint, "w") as f:
+            f.write(str(max_id))
 
     # -- write path ------------------------------------------------------------
 
@@ -157,10 +244,11 @@ class PersistentHybridIndex:
         # if empty so new writes land on a trained index
         with self.memtables._mu:
             if self.memtables.mutable.num_docs == 0:
-                self.memtables.queue.remove(self.memtables.mutable)
-                self.memtables.mutable = Memtable(
-                    self._make_index(), self.config.memtable_size_limit
-                )
+                old = self.memtables.mutable
+                self.memtables.queue.remove(old)
+                if old.wal is not None:
+                    old.wal.delete()
+                self.memtables.mutable = self._make_memtable()
                 self.memtables.queue.append(self.memtables.mutable)
 
     def _maybe_schedule_flush(self) -> None:
@@ -188,6 +276,8 @@ class PersistentHybridIndex:
         """Serialize one frozen memtable to 4 gzip files (storage.go:682-799)."""
         if mt.num_docs == 0 or mt.index.count() == 0:
             self.memtables.drop(mt)
+            if mt.wal is not None:
+                mt.wal.delete()
             return
         sid = self.provider.next_segment_id()
         paths = self.provider.segment_paths(sid)
@@ -203,6 +293,9 @@ class PersistentHybridIndex:
         segment._cached = mt.index  # already in memory; no need to reload
         self.segments.add(segment)
         self.memtables.drop(mt)
+        self._persist_max_id()
+        if mt.wal is not None:
+            mt.wal.delete()  # contents now durable in the segment
 
     def _flush_worker(self) -> None:
         while not self._stop.is_set():
@@ -318,6 +411,10 @@ class PersistentHybridIndex:
                 return
             try:
                 self.flush()
+                # everything durable in segments: drop now-empty WALs
+                for mt in self.memtables.list_all():
+                    if mt.num_docs == 0 and mt.wal is not None:
+                        mt.wal.delete()
             finally:
                 self._closed = True
         self._stop.set()

@@ -37,9 +37,10 @@ def estimate_document_size(vector, text: str, metadata) -> int:
 
 
 class Memtable:
-    def __init__(self, index: HybridSearchIndex, size_limit: int):
+    def __init__(self, index: HybridSearchIndex, size_limit: int, wal=None):
         self.index = index
         self.size_limit = size_limit
+        self.wal = wal  # optional WalWriter (storage/wal.py)
         self.size_used = 0
         self.num_docs = 0
         self.frozen = False
@@ -54,6 +55,8 @@ class Memtable:
             if self.frozen:
                 raise MemtableFrozenError("memtable is frozen")
             doc_id = self.index.add(vector, text, metadata)
+            if self.wal is not None:
+                self.wal.append_add(doc_id, vector, text, metadata)
             self.size_used += estimate_document_size(vector, text, metadata)
             self.num_docs += 1
             return doc_id
@@ -63,6 +66,8 @@ class Memtable:
             if self.frozen:
                 raise MemtableFrozenError("memtable is frozen")
             self.index.add_with_id(doc_id, vector, text, metadata)
+            if self.wal is not None:
+                self.wal.append_add(doc_id, vector, text, metadata)
             self.size_used += estimate_document_size(vector, text, metadata)
             self.num_docs += 1
 
@@ -71,6 +76,8 @@ class Memtable:
             if not self.index.has_document(doc_id):
                 return False
             self.index.remove(doc_id)
+            if self.wal is not None:
+                self.wal.append_remove(doc_id)
             self.num_docs -= 1
             return True
 
@@ -88,13 +95,13 @@ class MemtableQueue:
 
     def __init__(
         self,
-        index_factory: Callable[[], HybridSearchIndex],
+        memtable_factory: Callable[[], Memtable],
         size_limit: int,
     ):
-        self._factory = index_factory
+        self._factory = memtable_factory
         self._size_limit = size_limit
         self._mu = threading.RLock()
-        self.mutable = Memtable(index_factory(), size_limit)
+        self.mutable = memtable_factory()
         self.queue: list[Memtable] = [self.mutable]
 
     def add(self, vector, text, metadata) -> int:
@@ -116,6 +123,8 @@ class MemtableQueue:
                 with mt._mu:
                     if mt.index.has_document(doc_id):
                         mt.index.remove(doc_id)
+                        if mt.wal is not None:
+                            mt.wal.append_remove(doc_id)
                         mt.num_docs -= 1
                         return True
             return False
@@ -126,7 +135,7 @@ class MemtableQueue:
 
     def _rotate(self) -> None:
         self.mutable.freeze()
-        self.mutable = Memtable(self._factory(), self._size_limit)
+        self.mutable = self._factory()
         self.queue.append(self.mutable)
 
     def list_all(self) -> list[Memtable]:

@@ -8,15 +8,29 @@ re-initialization by scanning the directory (:108-141).
 
 from __future__ import annotations
 
+import logging
 import os
 import re
 import threading
 
 from comet_tpu.types import CometError
 
+log = logging.getLogger("comet_tpu.storage")
+
 LOCK_FILE = "LOCK"
 _SEGMENT_RE = re.compile(r"^hybrid_(\d{6})\.bin\.gz$")
+_WAL_RE = re.compile(r"^wal_(\d{6})\.log$")
 KINDS = ("hybrid", "vector", "text", "metadata")
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
 
 
 class StorageLockedError(CometError):
@@ -35,19 +49,34 @@ class StorageProvider:
     # -- locking -----------------------------------------------------------
 
     def _acquire_lock(self) -> None:
-        try:
-            fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        for _attempt in range(2):
             try:
-                with open(self._lock_path) as f:
-                    holder = f.read().strip()
-            except OSError:
-                holder = "unknown"
-            raise StorageLockedError(
-                f"storage directory {self.base_dir} is locked by pid {holder}"
-            )
-        with os.fdopen(fd, "w") as f:
-            f.write(str(os.getpid()))
+                fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    with open(self._lock_path) as f:
+                        holder = f.read().strip()
+                except OSError:
+                    holder = ""
+                # stale-lock takeover: a crashed process leaves its LOCK
+                # behind; if the holder pid is dead, steal the lock so WAL
+                # recovery can run (the reference would refuse to reopen).
+                if _attempt == 0 and holder.isdigit() and not _pid_alive(int(holder)):
+                    log.warning(
+                        "removing stale LOCK held by dead pid %s in %s",
+                        holder, self.base_dir,
+                    )
+                    try:
+                        os.remove(self._lock_path)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                raise StorageLockedError(
+                    f"storage directory {self.base_dir} is locked by pid {holder or 'unknown'}"
+                )
+            with os.fdopen(fd, "w") as f:
+                f.write(str(os.getpid()))
+            return
 
     def close(self) -> None:
         try:
@@ -93,3 +122,25 @@ class StorageProvider:
                 os.remove(path)
             except FileNotFoundError:
                 pass
+
+    # -- write-ahead logs ---------------------------------------------------
+
+    def wal_path(self, seq: int) -> str:
+        return os.path.join(self.base_dir, f"wal_{seq:06d}.log")
+
+    def list_wals(self) -> list[str]:
+        """WAL file paths sorted by sequence (oldest first)."""
+        out = []
+        for name in os.listdir(self.base_dir):
+            m = _WAL_RE.match(name)
+            if m:
+                out.append((int(m.group(1)), os.path.join(self.base_dir, name)))
+        return [p for _, p in sorted(out)]
+
+    def max_wal_seq(self) -> int:
+        seqs = [-1]
+        for name in os.listdir(self.base_dir):
+            m = _WAL_RE.match(name)
+            if m:
+                seqs.append(int(m.group(1)))
+        return max(seqs)

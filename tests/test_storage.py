@@ -225,3 +225,99 @@ def test_stats(tmp_path):
         s = store.stats()
         assert s["segments"] >= 1
         assert s["segment_bytes"] > 0
+
+
+# ---------------------------------------------------------------------------
+# WAL crash recovery (the reference has no WAL and loses unflushed writes)
+# ---------------------------------------------------------------------------
+
+
+def _simulate_crash(store):
+    """Tear down a store WITHOUT flushing: stop workers, leave WAL + a
+    stale LOCK behind (as a killed process would)."""
+    store._stop.set()
+    store._flush_event.set()
+    store._compact_event.set()
+    store._flush_thread.join(timeout=5)
+    store._compact_thread.join(timeout=5)
+    # overwrite the LOCK with a dead pid to mimic a crashed process
+    import os
+
+    with open(os.path.join(store.provider.base_dir, "LOCK"), "w") as f:
+        f.write("999999999")
+
+
+def test_wal_recovers_unflushed_writes(tmp_path):
+    cfg = make_config(tmp_path)
+    store = open_persistent_hybrid_index(cfg)
+    ids = add_docs(store, 6)
+    removed = ids[2]
+    store.remove(removed)
+    _simulate_crash(store)  # NO flush: without a WAL these writes are gone
+
+    store2 = open_persistent_hybrid_index(make_config(tmp_path))
+    try:
+        res = store2.new_search().with_text("number").with_k(20).execute()
+        got = sorted(r.id for r in res)
+        assert got == sorted(set(ids) - {removed})
+        res = store2.new_search().with_vector([4.0, 0, 0, 0]).with_k(1).execute()
+        assert res[0].id == ids[4]
+        res = store2.new_search().with_metadata(eq("cat", "even")).with_k(20).execute()
+        assert all(r.id in ids for r in res)
+    finally:
+        store2.close()
+
+
+def test_wal_cleaned_after_flush_and_close(tmp_path):
+    import os
+
+    cfg = make_config(tmp_path)
+    with open_persistent_hybrid_index(cfg) as store:
+        add_docs(store, 5)
+        assert any(f.startswith("wal_") for f in os.listdir(cfg.base_dir))
+        store.flush()
+    # after clean close no WAL files remain
+    assert not any(f.startswith("wal_") for f in os.listdir(cfg.base_dir))
+
+
+def test_wal_disabled(tmp_path):
+    import os
+
+    cfg = make_config(tmp_path, wal_enabled=False)
+    with open_persistent_hybrid_index(cfg) as store:
+        add_docs(store, 3)
+        assert not any(f.startswith("wal_") for f in os.listdir(cfg.base_dir))
+
+
+def test_stale_lock_takeover(tmp_path):
+    import os
+
+    cfg = make_config(tmp_path)
+    store = open_persistent_hybrid_index(cfg)
+    store.close()
+    # plant a stale lock from a dead pid
+    with open(os.path.join(cfg.base_dir, "LOCK"), "w") as f:
+        f.write("999999999")
+    store2 = open_persistent_hybrid_index(make_config(tmp_path))
+    store2.close()
+
+
+def test_auto_ids_do_not_collide_after_reopen(tmp_path):
+    cfg = make_config(tmp_path)
+    store = open_persistent_hybrid_index(cfg)
+    ids = add_docs(store, 4)
+    store.close()
+
+    # fresh process would reset the global counter; simulate that
+    from comet_tpu.core import node as node_mod
+
+    node_mod._reset_node_id_counter()
+
+    store2 = open_persistent_hybrid_index(make_config(tmp_path))
+    try:
+        new_id = store2.add(np.array([9, 9, 9, 9], dtype=np.float32), "fresh doc", {"num": 99})
+        assert new_id not in ids
+        res = store2.new_search().with_text("fresh").with_k(5).execute()
+        assert [r.id for r in res] == [new_id]
+    finally:
+        store2.close()
