@@ -99,6 +99,9 @@ class _Postings:
         return len(self.tf)
 
 
+POSTING_CHUNK = 512  # postings split into fixed-size chunks for device gathers
+
+
 class BM25SearchIndex:
     """BM25 text index (reference: bm25_index.go:98-122)."""
 
@@ -112,6 +115,8 @@ class BM25SearchIndex:
         self._lock = threading.RLock()
         self._len_version = 0
         self._len_cache: tuple[int, np.ndarray] | None = None
+        self._dev_version = -1
+        self._dev = None  # (chunk_docs, chunk_tf, doc_len, term_chunks, n_pad)
 
     # -- contracts -----------------------------------------------------------
 
@@ -261,6 +266,129 @@ class BM25SearchIndex:
             cand = cand[keep]
         return cand, scores[cand]
 
+    # -- device scoring path (TPU) --------------------------------------------
+
+    def _device_postings(self):
+        """Chunked dense postings in HBM: every term's (doc, tf) arrays split
+        into POSTING_CHUNK-entry chunks, concatenated into [NC, C] tables.
+        A query gathers its terms' chunk rows and scatter-adds BM25
+        contributions into a dense per-query score vector — the "dense padded
+        postings" device plan from SURVEY.md §7.7."""
+        import jax.numpy as jnp
+
+        from comet_tpu.indexes.base import next_pow2
+
+        if self._dev_version == self._len_version and self._dev is not None:
+            return self._dev
+        C = POSTING_CHUNK
+        doc_arrays = []
+        tf_arrays = []
+        term_chunks: dict[str, np.ndarray] = {}
+        nc = 0
+        for term in self._postings:
+            ids, tfs = self._postings[term].arrays()
+            n_chunks = max((len(ids) + C - 1) // C, 1)
+            docs = np.full((n_chunks, C), -1, dtype=np.int32)
+            tfv = np.zeros((n_chunks, C), dtype=np.float32)
+            docs.reshape(-1)[: len(ids)] = ids
+            tfv.reshape(-1)[: len(ids)] = tfs
+            doc_arrays.append(docs)
+            tf_arrays.append(tfv)
+            term_chunks[term] = np.arange(nc, nc + n_chunks, dtype=np.int32)
+            nc += n_chunks
+        if nc == 0:
+            doc_arrays = [np.full((1, C), -1, dtype=np.int32)]
+            tf_arrays = [np.zeros((1, C), dtype=np.float32)]
+            nc = 1
+        chunk_docs = jnp.asarray(np.concatenate(doc_arrays))
+        chunk_tf = jnp.asarray(np.concatenate(tf_arrays))
+        n_pad = next_pow2((max(self._doc_len) + 1) if self._doc_len else 1, 8)
+        doc_len = np.zeros(n_pad, dtype=np.float32)
+        dl = self._doc_len_array()
+        doc_len[: len(dl)] = dl
+        self._dev = (chunk_docs, chunk_tf, jnp.asarray(doc_len), term_chunks, n_pad)
+        self._dev_version = self._len_version
+        return self._dev
+
+    def search_batch(
+        self,
+        queries: list[str],
+        k: int = 10,
+        document_ids=None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """TPU throughput API: each query string scores independently.
+
+        Returns (ids [Q, k] uint32, scores [Q, k] f32); empty slots hold
+        id == 0xFFFFFFFF / score == 0. Scoring runs on device: chunk gathers
+        + scatter-add into dense per-query score rows + top-k.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from comet_tpu.indexes.base import INVALID_ID, next_pow2
+
+        with self._lock:
+            n = float(self._num_docs)
+            if n == 0:
+                q = len(queries)
+                return (
+                    np.full((q, k), INVALID_ID, dtype=np.uint32),
+                    np.zeros((q, k), dtype=np.float32),
+                )
+            chunk_docs, chunk_tf, doc_len, term_chunks, n_pad = self._device_postings()
+            avgdl = self._total_tokens / n
+
+            rows_chunks = []
+            rows_idf = []
+            for qtext in queries:
+                cids = []
+                idfs = []
+                for t in tokenize(normalize(qtext)):
+                    p = self._postings.get(t)
+                    chunks = term_chunks.get(t)
+                    if p is None or chunks is None:
+                        continue
+                    idf = math.log((n - p.df + 0.5) / (p.df + 0.5) + 1.0)
+                    cids.extend(chunks.tolist())
+                    idfs.extend([idf] * len(chunks))
+                rows_chunks.append(cids)
+                rows_idf.append(idfs)
+            mc = next_pow2(max((len(c) for c in rows_chunks), default=1), 4)
+            q_n = len(queries)
+            chunk_ids = np.full((q_n, mc), -1, dtype=np.int32)
+            chunk_idf = np.zeros((q_n, mc), dtype=np.float32)
+            for i, (cids, idfs) in enumerate(zip(rows_chunks, rows_idf)):
+                chunk_ids[i, : len(cids)] = cids
+                chunk_idf[i, : len(idfs)] = idfs
+
+            allowed = np.ones(n_pad, dtype=bool)
+            if not self._deleted.is_empty():
+                deleted_dense = np.unpackbits(
+                    self._deleted.words.view(np.uint8), bitorder="little"
+                )
+                m = min(len(deleted_dense), n_pad)
+                allowed[:m] &= deleted_dense[:m] == 0
+            doc_filter = DocumentFilter(document_ids)
+            fmask = doc_filter.slot_mask(np.arange(n_pad, dtype=np.uint32))
+            if fmask is not None:
+                allowed &= fmask
+
+            scores, ids = _bm25_device_kernel(
+                jnp.asarray(chunk_ids), jnp.asarray(chunk_idf),
+                chunk_docs, chunk_tf, doc_len, jnp.asarray(allowed),
+                jnp.asarray(np.float32(avgdl)), min(k, n_pad),
+            )
+        scores = np.asarray(scores)
+        ids = np.asarray(ids).astype(np.uint32)
+        miss = scores <= 0.0
+        ids = np.where(miss, INVALID_ID, ids)
+        scores = np.where(miss, 0.0, scores)
+        if ids.shape[1] < k:
+            pad = k - ids.shape[1]
+            ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=INVALID_ID)
+            scores = np.pad(scores, ((0, 0), (0, pad)))
+        return ids, scores
+
     def _lookup_node_texts(self, node_ids: list[int]) -> list[str]:
         """More-like-this: rebuild query text from stored tokens
         (bm25_index_search.go:233-261)."""
@@ -293,6 +421,40 @@ class BM25SearchIndex:
             for _ in range(n):
                 doc_id = serial.read_u32(f)
                 self.add(doc_id, serial.read_str(f))
+
+
+def _bm25_device_kernel(
+    chunk_ids, chunk_idf, chunk_docs, chunk_tf, doc_len, allowed, avgdl, k
+):
+    """Jitted BM25 scorer: [Q, MC] chunk gathers -> scatter-add -> top-k."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("k",))
+    def kernel(chunk_ids, chunk_idf, chunk_docs, chunk_tf, doc_len, allowed, avgdl, k):
+        q_n, mc = chunk_ids.shape
+        n_pad = doc_len.shape[0]
+        safe = jnp.maximum(chunk_ids, 0)
+        docs = chunk_docs[safe]                       # [Q, MC, C]
+        tf = chunk_tf[safe]
+        ok = (chunk_ids[:, :, None] >= 0) & (docs >= 0)
+        dl = doc_len[jnp.maximum(docs, 0)]
+        contrib = chunk_idf[:, :, None] * (tf * (K1 + 1.0)) / (
+            tf + K1 * (1.0 - B + B * (dl / avgdl))
+        )
+        contrib = jnp.where(ok, contrib, 0.0)
+        q_rows = jax.lax.broadcasted_iota(jnp.int32, docs.shape, 0)
+        scores = jnp.zeros((q_n, n_pad), jnp.float32).at[
+            q_rows, jnp.maximum(docs, 0)
+        ].add(contrib)
+        scores = jnp.where(allowed[None, :], scores, 0.0)
+        vals, ids = jax.lax.top_k(scores, k)
+        return vals, ids
+
+    return kernel(
+        chunk_ids, chunk_idf, chunk_docs, chunk_tf, doc_len, allowed, avgdl, k
+    )
 
 
 class BM25SearchBuilder:

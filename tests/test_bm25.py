@@ -203,3 +203,33 @@ def test_unicode_content():
     assert [r.id for r in res] == [1]
     res = idx.new_search().with_query("café").with_k(5).execute()
     assert [r.id for r in res] == [2]
+
+
+def test_device_search_batch_matches_host():
+    idx = sample_index()
+    queries = ["quick fox", "lazy dog", "electronics nothing", "animals"]
+    ids, scores = idx.search_batch(queries, k=5)
+    for qi, q in enumerate(queries):
+        host = idx.new_search().with_query(q).with_k(5).execute()
+        got = [(int(i), float(s)) for i, s in zip(ids[qi], scores[qi]) if i != 0xFFFFFFFF]
+        want = [(r.id, r.score) for r in host]
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for g, w in zip(got, want):
+            assert g[1] == pytest.approx(w[1], rel=1e-4)
+
+
+def test_device_search_batch_respects_delete_and_filter():
+    idx = sample_index()
+    idx.remove(1)
+    ids, scores = idx.search_batch(["fox"], k=10)
+    found = [int(i) for i in ids[0] if i != 0xFFFFFFFF]
+    assert 1 not in found
+    ids, scores = idx.search_batch(["quick"], k=10, document_ids=[2, 4])
+    found = [int(i) for i in ids[0] if i != 0xFFFFFFFF]
+    assert sorted(found) == [2, 4]
+
+
+def test_device_search_batch_empty_index():
+    idx = BM25SearchIndex()
+    ids, scores = idx.search_batch(["anything"], k=5)
+    assert (ids == 0xFFFFFFFF).all()
