@@ -398,10 +398,9 @@ class HNSWIndex(BaseVectorIndex):
                 out = np.full((len(adj), width), -1, dtype=np.int32)
                 rows = adj[keep]
                 vals = np.where(rows >= 0, remap[np.maximum(rows, 0)], -1)
-                # compact each row (drop -1 gaps left by deleted neighbors)
-                for r in range(n_new):
-                    live = vals[r][vals[r] >= 0]
-                    out[r, : len(live)] = live
+                # compact rows: stable-sort valid entries ahead of -1 gaps
+                order = np.argsort(vals < 0, axis=1, kind="stable")
+                out[:n_new] = np.take_along_axis(vals, order, axis=1)
                 return out
 
             self._adj0 = remap_adj(self._adj0, 2 * self._cfg.m)

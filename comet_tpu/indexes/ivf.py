@@ -108,6 +108,26 @@ def _ivf_search_kernel(
     return scores, slots
 
 
+def _build_list_table(
+    order: np.ndarray,
+    sorted_assign: np.ndarray,
+    counts: np.ndarray,
+    nlist: int,
+    maxlen: int,
+) -> np.ndarray:
+    """Vectorized padded [nlist, maxlen] slot table from sorted assignments."""
+    table = np.full((nlist, maxlen), -1, dtype=np.int32)
+    pos0 = np.searchsorted(sorted_assign, 0)  # skip unassigned (-1)
+    assigned = order[pos0:]
+    lists = sorted_assign[pos0:]
+    if len(assigned):
+        starts = np.zeros(nlist, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        cols = np.arange(len(assigned)) - starts[lists]
+        table[lists, cols] = assigned
+    return table
+
+
 class IVFIndex(BaseVectorIndex):
     """Inverted-file index (reference: ivf_index.go:82-119)."""
 
@@ -231,13 +251,7 @@ class IVFIndex(BaseVectorIndex):
             sorted_assign = assign[order]
             counts = np.bincount(sorted_assign[sorted_assign >= 0], minlength=self._nlist)
             maxlen = next_pow2(max(int(counts.max()) if n else 1, 1), 8)
-            table = np.full((self._nlist, maxlen), -1, dtype=np.int32)
-            starts = np.zeros(self._nlist + 1, dtype=np.int64)
-            np.cumsum(counts, out=starts[1:])
-            pos0 = np.searchsorted(sorted_assign, 0)  # skip unassigned (-1)
-            for lst in range(self._nlist):
-                lo, hi = starts[lst] + pos0, starts[lst + 1] + pos0
-                table[lst, : hi - lo] = order[lo:hi]
+            table = _build_list_table(order, sorted_assign, counts, self._nlist, maxlen)
             self._dev_table = jnp.asarray(table)
             self._dev_centroids = jnp.asarray(self._centroids)
             self._bucket_version = self._store.version

@@ -319,13 +319,9 @@ class IVFPQIndex(BaseVectorIndex):
                 sorted_assign[sorted_assign >= 0], minlength=self._nlist
             )
             maxlen = next_pow2(max(int(counts.max()) if n else 1, 1), 8)
-            table = np.full((self._nlist, maxlen), -1, dtype=np.int32)
-            starts = np.zeros(self._nlist + 1, dtype=np.int64)
-            np.cumsum(counts, out=starts[1:])
-            pos0 = np.searchsorted(sorted_assign, 0)
-            for lst in range(self._nlist):
-                lo, hi = starts[lst] + pos0, starts[lst + 1] + pos0
-                table[lst, : hi - lo] = order[lo:hi]
+            from comet_tpu.indexes.ivf import _build_list_table
+
+            table = _build_list_table(order, sorted_assign, counts, self._nlist, maxlen)
             self._dev = (
                 jnp.asarray(self._centroids),
                 jnp.asarray(self._codebooks),
