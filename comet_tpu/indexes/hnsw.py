@@ -318,30 +318,58 @@ class HNSWIndex(BaseVectorIndex):
             cand_s = np.take_along_axis(cand_s, reorder, axis=1)
 
         m = cfg.m
+        # Beam results are unique per row (visited-set semantics) and
+        # intra-round candidates are disjoint from them, so the merged,
+        # distance-sorted candidate rows need no dedup: the forward
+        # neighbors are simply the first M finite entries per row.
+        finite = (cand_s != int(IDX_SENTINEL)) & np.isfinite(cand_d)
+        neighbors = np.full((b, m), -1, dtype=np.int32)
         for i in range(b):
+            row = cand_s[i][finite[i]][:m]
+            neighbors[i, : len(row)] = row
+        self._adj0[sub, :m] = neighbors
+        touched.update(int(s) for s in sub)
+
+        # Reverse edges, batched: group (neighbor <- new) pairs by neighbor,
+        # append, and prune every touched neighbor row in ONE vectorized
+        # distance pass (hnsw_index.go:535-546, 667-694 done per-edge there).
+        valid = neighbors >= 0
+        if valid.any():
+            nbr = neighbors[valid].astype(np.int64)
+            new = np.repeat(sub, valid.sum(axis=1))
+            order = np.argsort(nbr, kind="stable")
+            nbr_s, new_s = nbr[order], new[order]
+            uniq, starts, counts = np.unique(nbr_s, return_index=True, return_counts=True)
+            maxc = int(counts.max())
+            w0 = 2 * m
+            cand_mat = np.full((len(uniq), w0 + maxc), -1, dtype=np.int64)
+            cand_mat[:, :w0] = self._adj0[uniq]
+            cols = np.arange(len(nbr_s)) - starts[np.searchsorted(uniq, nbr_s)]
+            rows = np.searchsorted(uniq, nbr_s)
+            cand_mat[rows, w0 + cols] = new_s
+            # batched prune: keep the 2M nearest per neighbor. Mutual
+            # selections make a new node appear both in a neighbor's forward
+            # row and its appends — mask duplicate occurrences first.
+            cm_valid = cand_mat >= 0
+            ordv = np.argsort(cand_mat, axis=1, kind="stable")
+            sv = np.take_along_axis(cand_mat, ordv, axis=1)
+            rep = np.zeros_like(cand_mat, dtype=bool)
+            rep[:, 1:] = sv[:, 1:] == sv[:, :-1]
+            dup = np.zeros_like(rep)
+            np.put_along_axis(dup, ordv, rep, axis=1)
+            cv = self._store.vectors[np.maximum(cand_mat, 0)]
+            d = self._dist_rows(self._store.vectors[uniq], cv)
+            d = np.where(cm_valid & ~dup, d, np.inf)
+            keep = np.argsort(d, axis=1, kind="stable")[:, :w0]
+            cand_mat = np.where(cm_valid & ~dup, cand_mat, -1)
+            self._adj0[uniq] = np.take_along_axis(cand_mat, keep, axis=1).astype(np.int32)
+            touched.update(int(u) for u in uniq)
+
+        # Upper layers: few nodes have level > 0; per-node handling is cheap.
+        for i in np.flatnonzero(sub_levels > 0):
             slot = int(sub[i])
             level = int(sub_levels[i])
-            cds, css = cand_d[i], cand_s[i]
-            ok = css != int(IDX_SENTINEL)
-            css, cds = css[ok], cds[ok]
-            # drop self/dup
-            uniq_mask = css != slot
-            css, cds = css[uniq_mask], cds[uniq_mask]
-            _, first_pos = np.unique(css, return_index=True)
-            first_pos.sort()
-            css, cds = css[first_pos], cds[first_pos]
-            order = np.argsort(cds, kind="stable")
-            css = css[order]
-
-            # layer 0: connect to M nearest (hnsw_index.go:525-546)
-            neighbors = css[:m]
-            self._adj0[slot, : len(neighbors)] = neighbors
-            touched.add(slot)
-            for nb in neighbors.tolist():
-                self._connect_reverse(int(nb), slot, 0)
-                touched.add(int(nb))
-
-            # upper layers: nearest candidates that live at that level
+            css = cand_s[i][finite[i]]
             for lvl in range(1, level + 1):
                 self._ensure_level(lvl)
                 at_level = css[self._levels[css] >= lvl][:m]
@@ -349,9 +377,10 @@ class HNSWIndex(BaseVectorIndex):
                 for nb in at_level.tolist():
                     self._connect_reverse(int(nb), slot, lvl)
 
-            if level > self._max_level:
-                self._max_level = level
-                self._entry_slot = slot
+        best = int(np.argmax(sub_levels))
+        if int(sub_levels[best]) > self._max_level:
+            self._max_level = int(sub_levels[best])
+            self._entry_slot = int(sub[best])
 
         self._scatter_device(all_new, np.fromiter(touched, dtype=np.int64))
 
