@@ -48,7 +48,7 @@ from comet_tpu.indexes.base import (
 )
 from comet_tpu.io import serial
 from comet_tpu.ops.distance import preprocess
-from comet_tpu.ops.graph import beam_search_layer0, scatter_rows
+from comet_tpu.ops.graph import beam_search_layer0, scatter_graph_update
 from comet_tpu.ops.topk import IDX_SENTINEL
 from comet_tpu.types import (
     DistanceKind,
@@ -61,7 +61,11 @@ VERSION = 1
 
 MAX_LEVEL = 16  # hnsw_index.go:474-484 cap
 HNSW_QUERY_CHUNK = 64
-BUILD_SUB_BATCH = 128
+BUILD_SUB_BATCH = 512
+# Beam candidates expanded per while_loop iteration (see ops/graph.py):
+# higher = fewer sequential iterations on device.
+SEARCH_EXPAND = 1
+BUILD_EXPAND = 1
 
 
 @dataclass
@@ -171,19 +175,28 @@ class HNSWIndex(BaseVectorIndex):
             self._dev_valid_version = self._store.version
 
     def _scatter_device(self, slots: np.ndarray, adj_rows_touched: np.ndarray) -> None:
-        """Push new vectors + touched adjacency rows to the device mirrors."""
-        if len(slots):
-            rows = jnp.asarray(slots)
-            vecs = jnp.asarray(self._store.vectors[slots])
-            self._dev_vectors = scatter_rows(self._dev_vectors, rows, vecs)
-            self._dev_sqnorms = scatter_rows(
-                self._dev_sqnorms, rows, jnp.sum(vecs * vecs, axis=1)
-            )
-        if len(adj_rows_touched):
-            rows = jnp.asarray(adj_rows_touched)
-            self._dev_adj0 = scatter_rows(
-                self._dev_adj0, rows, jnp.asarray(self._adj0[adj_rows_touched])
-            )
+        """Push new vectors + touched adjacency rows to the device mirrors in
+        ONE dispatch. Row counts are padded to power-of-two buckets (repeating
+        row 0 with its current host value) so XLA compiles a handful of
+        shapes, not one per round."""
+
+        def pad_rows(rows: np.ndarray) -> np.ndarray:
+            want = next_pow2(max(len(rows), 1), 8)
+            if want == len(rows):
+                return rows
+            return np.concatenate([rows, np.zeros(want - len(rows), dtype=rows.dtype)])
+
+        vec_rows = pad_rows(np.asarray(slots, dtype=np.int64))
+        adj_rows = pad_rows(np.asarray(adj_rows_touched, dtype=np.int64))
+        self._dev_vectors, self._dev_sqnorms, self._dev_adj0 = scatter_graph_update(
+            self._dev_vectors,
+            self._dev_sqnorms,
+            self._dev_adj0,
+            jnp.asarray(vec_rows),
+            jnp.asarray(self._store.vectors[vec_rows]),
+            jnp.asarray(adj_rows),
+            jnp.asarray(self._adj0[adj_rows]),
+        )
 
     # -- host-side distance helpers -----------------------------------------
 
@@ -300,13 +313,23 @@ class HNSWIndex(BaseVectorIndex):
             efc,
             efc,
             self._distance_kind,
-            4 * efc + 32,
+            (4 * efc + 32) // BUILD_EXPAND + 16,
+            BUILD_EXPAND,
         )
         cand_d = np.asarray(cand_d)
         cand_s = np.asarray(cand_s)
         # ...plus exact intra-round candidates so same-round nodes can link
         if b > 1:
-            intra = self._dist_rows(vecs, np.broadcast_to(vecs[None], (b, b, self._dim)))
+            # all-pairs via BLAS matmul (an einsum over a broadcast view is
+            # ~100x slower — no BLAS path)
+            ip = vecs @ vecs.T
+            if self._distance_kind == DistanceKind.COSINE:
+                intra = 1.0 - np.clip(ip, -1.0, 1.0)
+            else:
+                sq = (vecs * vecs).sum(axis=1)
+                intra = np.maximum(sq[:, None] + sq[None, :] - 2.0 * ip, 0.0)
+                if self._distance_kind == DistanceKind.L2:
+                    intra = np.sqrt(intra)
             np.fill_diagonal(intra, np.inf)
             order = np.argsort(intra, axis=1, kind="stable")[:, : cfg.m]
             intra_d = np.take_along_axis(intra, order, axis=1)
@@ -344,12 +367,11 @@ class HNSWIndex(BaseVectorIndex):
             w0 = 2 * m
             cand_mat = np.full((len(uniq), w0 + maxc), -1, dtype=np.int64)
             cand_mat[:, :w0] = self._adj0[uniq]
-            cols = np.arange(len(nbr_s)) - starts[np.searchsorted(uniq, nbr_s)]
             rows = np.searchsorted(uniq, nbr_s)
+            cols = np.arange(len(nbr_s)) - starts[rows]
             cand_mat[rows, w0 + cols] = new_s
-            # batched prune: keep the 2M nearest per neighbor. Mutual
-            # selections make a new node appear both in a neighbor's forward
-            # row and its appends — mask duplicate occurrences first.
+            # Mutual selections make a new node appear both in a neighbor's
+            # forward row and its appends — mask duplicate occurrences.
             cm_valid = cand_mat >= 0
             ordv = np.argsort(cand_mat, axis=1, kind="stable")
             sv = np.take_along_axis(cand_mat, ordv, axis=1)
@@ -357,12 +379,30 @@ class HNSWIndex(BaseVectorIndex):
             rep[:, 1:] = sv[:, 1:] == sv[:, :-1]
             dup = np.zeros_like(rep)
             np.put_along_axis(dup, ordv, rep, axis=1)
-            cv = self._store.vectors[np.maximum(cand_mat, 0)]
-            d = self._dist_rows(self._store.vectors[uniq], cv)
-            d = np.where(cm_valid & ~dup, d, np.inf)
-            keep = np.argsort(d, axis=1, kind="stable")[:, :w0]
-            cand_mat = np.where(cm_valid & ~dup, cand_mat, -1)
-            self._adj0[uniq] = np.take_along_axis(cand_mat, keep, axis=1).astype(np.int32)
+            keepable = cm_valid & ~dup
+            cand_mat = np.where(keepable, cand_mat, -1)
+
+            fill = keepable.sum(axis=1)
+            over = fill > w0
+            # under-capacity rows: compact left, no distances needed
+            if (~over).any():
+                rows_u = np.flatnonzero(~over)
+                cm_u = cand_mat[rows_u]
+                order_u = np.argsort(cm_u < 0, axis=1, kind="stable")
+                self._adj0[uniq[rows_u]] = np.take_along_axis(cm_u, order_u, axis=1)[
+                    :, :w0
+                ].astype(np.int32)
+            # overflowing rows (few): batched prune keeping the 2M nearest
+            if over.any():
+                rows_o = np.flatnonzero(over)
+                cm_o = cand_mat[rows_o]
+                cv = self._store.vectors[np.maximum(cm_o, 0)]
+                d = self._dist_rows(self._store.vectors[uniq[rows_o]], cv)
+                d = np.where(cm_o >= 0, d, np.inf)
+                keep = np.argsort(d, axis=1, kind="stable")[:, :w0]
+                self._adj0[uniq[rows_o]] = np.take_along_axis(cm_o, keep, axis=1).astype(
+                    np.int32
+                )
             touched.update(int(u) for u in uniq)
 
         # Upper layers: few nodes have level > 0; per-node handling is cheap.
@@ -498,7 +538,8 @@ class HNSWIndex(BaseVectorIndex):
                     ef_pad,
                     k_pad,
                     self._distance_kind,
-                    4 * ef_pad + 32,
+                    (4 * ef_pad + 32) // SEARCH_EXPAND + 16,
+                    SEARCH_EXPAND,
                 )
             )
         import jax

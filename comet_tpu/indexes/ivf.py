@@ -52,7 +52,7 @@ from comet_tpu.types import (
 MAGIC = b"CIVF"
 VERSION = 1
 
-IVF_QUERY_CHUNK = 64
+IVF_QUERY_CHUNK = 128
 
 
 @partial(jax.jit, static_argnames=("k", "kind", "nprobe"))

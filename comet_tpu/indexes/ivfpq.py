@@ -58,7 +58,7 @@ from comet_tpu.types import (
 MAGIC = b"CIPQ"
 VERSION = 1
 
-IVFPQ_QUERY_CHUNK = 64
+IVFPQ_QUERY_CHUNK = 256
 
 
 @partial(jax.jit, static_argnames=("k", "kind", "nprobe"))
