@@ -39,10 +39,20 @@ def log(msg):
 
 
 def gen_data(n=N, dim=DIM, seed=0):
+    """SIFT-like clustered corpus: a Gaussian mixture rather than uniform
+    noise (uniform high-dim data has no neighborhood structure, which makes
+    every ANN method look artificially bad; real descriptor datasets are
+    strongly clustered)."""
     rng = np.random.default_rng(seed)
-    corpus = rng.integers(0, 256, size=(n, dim)).astype(np.float32)
-    queries = rng.integers(0, 256, size=(BATCH, dim)).astype(np.float32)
-    return corpus, queries
+    n_centers = 1024
+    centers = rng.uniform(0, 256, size=(n_centers, dim)).astype(np.float32)
+    corpus = centers[rng.integers(0, n_centers, size=n)] + rng.normal(
+        scale=20.0, size=(n, dim)
+    ).astype(np.float32)
+    queries = centers[rng.integers(0, n_centers, size=BATCH)] + rng.normal(
+        scale=20.0, size=(BATCH, dim)
+    ).astype(np.float32)
+    return corpus.astype(np.float32), queries.astype(np.float32)
 
 
 def time_search(idx, queries, k, rounds=ROUNDS, **kw):
