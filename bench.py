@@ -45,14 +45,16 @@ def gen_data(n=N, dim=DIM, seed=0):
     strongly clustered)."""
     rng = np.random.default_rng(seed)
     n_centers = 1024
+    intrinsic = 16  # real descriptor sets have low intrinsic dimension
     centers = rng.uniform(0, 256, size=(n_centers, dim)).astype(np.float32)
-    corpus = centers[rng.integers(0, n_centers, size=n)] + rng.normal(
-        scale=20.0, size=(n, dim)
-    ).astype(np.float32)
-    queries = centers[rng.integers(0, n_centers, size=BATCH)] + rng.normal(
-        scale=20.0, size=(BATCH, dim)
-    ).astype(np.float32)
-    return corpus.astype(np.float32), queries.astype(np.float32)
+    proj = rng.normal(scale=1.0, size=(intrinsic, dim)).astype(np.float32)
+
+    def sample(count):
+        which = rng.integers(0, n_centers, size=count)
+        z = rng.normal(scale=12.0, size=(count, intrinsic)).astype(np.float32)
+        return (centers[which] + z @ proj).astype(np.float32)
+
+    return sample(n), sample(BATCH)
 
 
 def time_search(idx, queries, k, rounds=ROUNDS, **kw):
