@@ -52,14 +52,16 @@ from comet_tpu.types import (
 MAGIC = b"CIVF"
 VERSION = 1
 
-IVF_QUERY_CHUNK = 128
+IVF_QUERY_CHUNK = 256
+LIST_CHUNK = 256  # inverted-list rows per fixed-size chunk
 
 
-@partial(jax.jit, static_argnames=("k", "kind", "nprobe"))
+@partial(jax.jit, static_argnames=("k", "kind", "nprobe", "max_steps"))
 def _ivf_search_kernel(
     queries: jax.Array,      # [Q, d]
     centroids: jax.Array,    # [nlist, d]
-    list_slots: jax.Array,   # [nlist, maxlen] int32, -1 padded
+    chunk_slots: jax.Array,  # [NC, LIST_CHUNK] int32, -1 padded
+    chunk_start: jax.Array,  # [nlist + 1] int32 (list l owns chunks [s_l, s_{l+1}))
     vectors: jax.Array,      # [cap, d]
     sqnorms: jax.Array,      # [cap]
     valid: jax.Array,        # [cap] bool
@@ -67,22 +69,43 @@ def _ivf_search_kernel(
     k: int,
     kind: DistanceKind,
     nprobe: int,
+    max_steps: int,
 ):
-    """Batched IVF probe-and-scan. Returns (scores [Q,k], slots [Q,k])."""
+    """Batched IVF probe-and-scan over FIXED-SIZE list chunks.
+
+    K-means lists are unbalanced on real data, so a padded [nlist, maxlen]
+    layout wastes most of its gather bandwidth on padding. Lists are instead
+    stored as contiguous 256-row chunks; every query walks a cursor over its
+    probed lists' chunk ranges inside one while_loop, so total gather work
+    tracks the actual list sizes (± one chunk per probe) and queries that
+    finish early idle under a mask. Returns (scores [Q,k], slots [Q,k]).
+    """
     Q = queries.shape[0]
     cd = pairwise_scores(queries, centroids, kind)      # [Q, nlist]
     _, probes = lax.top_k(-cd, nprobe)                  # [Q, nprobe]
 
     qn = jnp.sum(queries * queries, axis=1, keepdims=True)  # [Q, 1]
+    rows = jnp.arange(Q)
 
-    def body(carry, p):
-        best_s, best_i = carry
-        slots = list_slots[probes[:, p]]                 # [Q, L]
+    def cond(state):
+        step, probe_i, off, best_s, best_i = state
+        return (step < max_steps) & jnp.any(probe_i < nprobe)
+
+    def body(state):
+        step, probe_i, off, best_s, best_i = state
+        alive = probe_i < nprobe
+        p = probes[rows, jnp.minimum(probe_i, nprobe - 1)]       # [Q]
+        base = chunk_start[p]
+        nch = chunk_start[p + 1] - base
+        chunk = jnp.minimum(base + off, chunk_slots.shape[0] - 1)
+
+        have = alive & (off < nch)  # empty lists scan nothing this step
+        slots = jnp.where(have[:, None], chunk_slots[chunk], -1)  # [Q, C]
         slots_c = jnp.maximum(slots, 0)
-        vecs = vectors[slots_c]                          # [Q, L, d]
-        sq = sqnorms[slots_c]                            # [Q, L]
+        vecs = vectors[slots_c]                                    # [Q, C, d]
+        sq = sqnorms[slots_c]
         ip = jnp.einsum(
-            "qd,qld->ql", queries, vecs,
+            "qd,qcd->qc", queries, vecs,
             preferred_element_type=jnp.float32, precision=DEFAULT_PRECISION,
         )
         if kind == DistanceKind.COSINE:
@@ -98,14 +121,24 @@ def _ivf_search_kernel(
         s = -s
         slot_sel = jnp.take_along_axis(slots, pos, axis=1)
         slot_sel = jnp.where(s == INF, IDX_SENTINEL, slot_sel)
-        return merge_topk(best_s, best_i, s, slot_sel, k), None
+        best_s, best_i = merge_topk(best_s, best_i, s, slot_sel, k)
+
+        # advance the cursor: next chunk of this list, or the next probe
+        # (empty lists have nch == 0 and are skipped immediately)
+        last_chunk = off + 1 >= nch
+        probe_i = jnp.where(alive & last_chunk, probe_i + 1, probe_i)
+        off = jnp.where(alive & last_chunk, 0, jnp.where(alive, off + 1, off))
+        return step + 1, probe_i, off, best_s, best_i
 
     init = (
+        jnp.int32(0),
+        jnp.zeros(Q, jnp.int32),
+        jnp.zeros(Q, jnp.int32),
         jnp.full((Q, k), INF, dtype=jnp.float32),
         jnp.full((Q, k), IDX_SENTINEL, dtype=jnp.int32),
     )
-    (scores, slots), _ = lax.scan(body, init, jnp.arange(nprobe))
-    return scores, slots
+    state = lax.while_loop(cond, body, init)
+    return state[3], state[4]
 
 
 def _build_list_table(
@@ -128,6 +161,39 @@ def _build_list_table(
     return table
 
 
+def build_chunked_lists(
+    assign: np.ndarray, nlist: int, chunk: int = LIST_CHUNK
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Fixed-size chunked inverted lists from per-slot assignments.
+
+    Returns (chunk_slots [NC_pad, chunk] int32 -1-padded,
+             chunk_start [nlist+1] int32,
+             max_chunks_per_list).
+    """
+    order = np.argsort(assign, kind="stable")
+    sorted_assign = assign[order]
+    pos0 = np.searchsorted(sorted_assign, 0)
+    assigned = order[pos0:].astype(np.int32)
+    lists = sorted_assign[pos0:]
+    counts = np.bincount(lists, minlength=nlist) if len(lists) else np.zeros(
+        nlist, dtype=np.int64
+    )
+    n_chunks = -(-counts // chunk)  # ceil; empty lists own 0 chunks
+    chunk_start = np.zeros(nlist + 1, dtype=np.int32)
+    np.cumsum(n_chunks, out=chunk_start[1:])
+    nc = max(int(chunk_start[-1]), 1)
+    nc_pad = next_pow2(nc, 4)
+    chunk_slots = np.full((nc_pad, chunk), -1, dtype=np.int32)
+    if len(assigned):
+        starts = np.zeros(nlist, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        within = np.arange(len(assigned)) - starts[lists]
+        rows = chunk_start[lists] + within // chunk
+        cols = within % chunk
+        chunk_slots[rows, cols] = assigned
+    return chunk_slots, chunk_start, max(int(n_chunks.max()) if nlist else 1, 1)
+
+
 class IVFIndex(BaseVectorIndex):
     """Inverted-file index (reference: ivf_index.go:82-119)."""
 
@@ -141,7 +207,9 @@ class IVFIndex(BaseVectorIndex):
         self._trained = False
         # device bucket cache
         self._bucket_version = -1
-        self._dev_table = None
+        self._dev_chunks = None
+        self._dev_chunk_start = None
+        self._max_chunks = 1
         self._dev_centroids = None
 
     # -- contracts -----------------------------------------------------------
@@ -243,19 +311,23 @@ class IVFIndex(BaseVectorIndex):
     # -- search ---------------------------------------------------------------
 
     def _device_buckets(self):
-        """Padded [nlist, maxlen] slot table, rebuilt when contents change."""
+        """Chunked inverted lists on device, rebuilt when contents change."""
         if self._bucket_version != self._store.version:
             n = self._store.n
-            assign = self._assign[:n]
-            order = np.argsort(assign, kind="stable")
-            sorted_assign = assign[order]
-            counts = np.bincount(sorted_assign[sorted_assign >= 0], minlength=self._nlist)
-            maxlen = next_pow2(max(int(counts.max()) if n else 1, 1), 8)
-            table = _build_list_table(order, sorted_assign, counts, self._nlist, maxlen)
-            self._dev_table = jnp.asarray(table)
+            chunk_slots, chunk_start, max_chunks = build_chunked_lists(
+                self._assign[:n], self._nlist
+            )
+            self._dev_chunks = jnp.asarray(chunk_slots)
+            self._dev_chunk_start = jnp.asarray(chunk_start)
+            self._max_chunks = max_chunks
             self._dev_centroids = jnp.asarray(self._centroids)
             self._bucket_version = self._store.version
-        return self._dev_centroids, self._dev_table
+        return (
+            self._dev_centroids,
+            self._dev_chunks,
+            self._dev_chunk_start,
+            self._max_chunks,
+        )
 
     def _sanitize_nprobes(self, nprobes: int | None) -> int:
         if nprobes is None:
@@ -284,20 +356,21 @@ class IVFIndex(BaseVectorIndex):
         qpad, q_real = pad_queries(qprep)
 
         vecs, sqnorms, valid = store.device_state()
-        centroids, table = self._device_buckets()
+        centroids, chunk_slots, chunk_start, max_chunks = self._device_buckets()
         doc_filter = DocumentFilter(builder._document_ids)
         fmask = doc_filter.slot_mask(store.ids)
         if fmask is not None:
             valid = jnp.logical_and(valid, jnp.asarray(fmask))
         thr = threshold_scalar(builder._threshold)
+        max_steps = next_pow2(nprobe * max_chunks, 4)
 
         chunks = []
         for q0 in range(0, qpad.shape[0], IVF_QUERY_CHUNK):
             qc = jnp.asarray(qpad[q0 : q0 + IVF_QUERY_CHUNK])
             chunks.append(
                 _ivf_search_kernel(
-                    qc, centroids, table, vecs, sqnorms, valid, thr,
-                    k_pad, self._distance_kind, nprobe,
+                    qc, centroids, chunk_slots, chunk_start, vecs, sqnorms,
+                    valid, thr, k_pad, self._distance_kind, nprobe, max_steps,
                 )
             )
         import jax

@@ -61,50 +61,70 @@ VERSION = 1
 IVFPQ_QUERY_CHUNK = 256
 
 
-@partial(jax.jit, static_argnames=("k", "kind", "nprobe"))
+@partial(jax.jit, static_argnames=("k", "kind", "nprobe", "max_steps"))
 def _ivfpq_search_kernel(
     queries: jax.Array,      # [Q, d]
     centroids: jax.Array,    # [nlist, d]
     codebooks: jax.Array,    # [M, Ksub, dsub]
-    list_slots: jax.Array,   # [nlist, maxlen] int32, -1 padded
+    chunk_slots: jax.Array,  # [NC, C] int32, -1 padded (chunked lists)
+    chunk_start: jax.Array,  # [nlist + 1] int32
     codes: jax.Array,        # [cap, M] int32
     valid: jax.Array,        # [cap] bool
     threshold: jax.Array,    # scalar f32
     k: int,
     kind: DistanceKind,
     nprobe: int,
+    max_steps: int,
 ):
-    """Batched IVFPQ probe-and-ADC. Returns (scores [Q,k], slots [Q,k])."""
+    """Batched IVFPQ probe-and-ADC over fixed-size list chunks.
+
+    Same cursor-walk structure as the IVF kernel (see ivf.py): each step
+    every query scans one 256-row chunk of its current probed list. The
+    per-cluster residual LUT (ivfpq_index_search.go:285-323) is recomputed
+    per step for each query's CURRENT probe — a [Q, M, Ksub] einsum, trivial
+    next to the member-code gathers. Returns (scores [Q,k], slots [Q,k]).
+    """
     Q, d = queries.shape
     M, Ksub, dsub = codebooks.shape
     cd = pairwise_scores(queries, centroids, kind)  # [Q, nlist]
     _, probes = lax.top_k(-cd, nprobe)              # [Q, nprobe]
 
     cn = jnp.sum(codebooks * codebooks, axis=2)     # [M, Ksub]
+    rows = jnp.arange(Q)
+    offs_m = jax.lax.broadcasted_iota(jnp.int32, (1, 1, M), 2) * Ksub
 
-    def body(carry, p):
-        best_s, best_i = carry
-        probe = probes[:, p]                         # [Q]
-        # Query residual for this probed cluster (ivfpq_index_search.go:285-296)
-        resid = queries - centroids[probe]           # [Q, d]
+    def cond(state):
+        step, probe_i, off, best_s, best_i = state
+        return (step < max_steps) & jnp.any(probe_i < nprobe)
+
+    def body(state):
+        step, probe_i, off, best_s, best_i = state
+        alive = probe_i < nprobe
+        p = probes[rows, jnp.minimum(probe_i, nprobe - 1)]
+        base = chunk_start[p]
+        nch = chunk_start[p + 1] - base
+        have = alive & (off < nch)
+        chunk = jnp.minimum(base + off, chunk_slots.shape[0] - 1)
+
+        # current probe's residual LUT
+        resid = queries - centroids[p]
         rs = resid.reshape(Q, M, dsub)
         ip = jnp.einsum(
             "qmd,mkd->qmk", rs, codebooks,
             preferred_element_type=jnp.float32, precision=DEFAULT_PRECISION,
         )
         rn = jnp.sum(rs * rs, axis=2, keepdims=True)
-        lut = jnp.maximum(rn + cn[None, :, :] - 2.0 * ip, 0.0)  # [Q, M, Ksub]
-        lut_flat = lut.reshape(Q, M * Ksub)
+        lut_flat = jnp.maximum(rn + cn[None, :, :] - 2.0 * ip, 0.0).reshape(
+            Q, M * Ksub
+        )
 
-        slots = list_slots[probe]                    # [Q, L]
+        slots = jnp.where(have[:, None], chunk_slots[chunk], -1)   # [Q, C]
         slots_c = jnp.maximum(slots, 0)
-        member_codes = codes[slots_c]                # [Q, L, M]
-        offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, M), 2) * Ksub
-        codes_off = member_codes + offs              # [Q, L, M]
+        member_codes = codes[slots_c]                              # [Q, C, M]
         picked = jnp.take_along_axis(
-            lut_flat[:, None, :], codes_off, axis=2
-        )                                            # [Q, L, M]
-        dist = jnp.sqrt(jnp.maximum(jnp.sum(picked, axis=2), 0.0))  # [Q, L]
+            lut_flat[:, None, :], member_codes + offs_m, axis=2
+        )                                                          # [Q, C, M]
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(picked, axis=2), 0.0))
 
         ok = (slots >= 0) & valid[slots_c] & (dist <= threshold)
         dist = jnp.where(ok, dist, INF)
@@ -113,14 +133,22 @@ def _ivfpq_search_kernel(
         s = -s
         slot_sel = jnp.take_along_axis(slots, pos, axis=1)
         slot_sel = jnp.where(s == INF, IDX_SENTINEL, slot_sel)
-        return merge_topk(best_s, best_i, s, slot_sel, k), None
+        best_s, best_i = merge_topk(best_s, best_i, s, slot_sel, k)
+
+        last_chunk = off + 1 >= nch
+        probe_i = jnp.where(alive & last_chunk, probe_i + 1, probe_i)
+        off = jnp.where(alive & last_chunk, 0, jnp.where(alive, off + 1, off))
+        return step + 1, probe_i, off, best_s, best_i
 
     init = (
+        jnp.int32(0),
+        jnp.zeros(Q, jnp.int32),
+        jnp.zeros(Q, jnp.int32),
         jnp.full((Q, k), INF, dtype=jnp.float32),
         jnp.full((Q, k), IDX_SENTINEL, dtype=jnp.int32),
     )
-    (scores, slots), _ = lax.scan(body, init, jnp.arange(nprobe))
-    return scores, slots
+    state = lax.while_loop(cond, body, init)
+    return state[3], state[4]
 
 
 class IVFPQIndex(BaseVectorIndex):
@@ -312,20 +340,17 @@ class IVFPQIndex(BaseVectorIndex):
     def _device_state_ivfpq(self):
         if self._dev_version != self._store.version:
             n = self._store.n
-            assign = self._assign[:n]
-            order = np.argsort(assign, kind="stable")
-            sorted_assign = assign[order]
-            counts = np.bincount(
-                sorted_assign[sorted_assign >= 0], minlength=self._nlist
-            )
-            maxlen = next_pow2(max(int(counts.max()) if n else 1, 1), 8)
-            from comet_tpu.indexes.ivf import _build_list_table
+            from comet_tpu.indexes.ivf import build_chunked_lists
 
-            table = _build_list_table(order, sorted_assign, counts, self._nlist, maxlen)
+            chunk_slots, chunk_start, max_chunks = build_chunked_lists(
+                self._assign[:n], self._nlist
+            )
             self._dev = (
                 jnp.asarray(self._centroids),
                 jnp.asarray(self._codebooks),
-                jnp.asarray(table),
+                jnp.asarray(chunk_slots),
+                jnp.asarray(chunk_start),
+                max_chunks,
                 jnp.asarray(self._codes),
                 jnp.asarray(self._store.valid),
             )
@@ -361,20 +386,23 @@ class IVFPQIndex(BaseVectorIndex):
         qprep = preprocess(queries, self._distance_kind)
         qpad, q_real = pad_queries(qprep)
 
-        centroids, codebooks, table, codes, valid = self._device_state_ivfpq()
+        (
+            centroids, codebooks, chunk_slots, chunk_start, max_chunks, codes, valid,
+        ) = self._device_state_ivfpq()
         doc_filter = DocumentFilter(builder._document_ids)
         fmask = doc_filter.slot_mask(store.ids)
         if fmask is not None:
             valid = jnp.logical_and(valid, jnp.asarray(fmask))
         thr = threshold_scalar(builder._threshold)
+        max_steps = next_pow2(nprobe * max_chunks, 4)
 
         chunks = []
         for q0 in range(0, qpad.shape[0], IVFPQ_QUERY_CHUNK):
             qc = jnp.asarray(qpad[q0 : q0 + IVFPQ_QUERY_CHUNK])
             chunks.append(
                 _ivfpq_search_kernel(
-                    qc, centroids, codebooks, table, codes, valid, thr,
-                    k_pad, self._distance_kind, nprobe,
+                    qc, centroids, codebooks, chunk_slots, chunk_start, codes,
+                    valid, thr, k_pad, self._distance_kind, nprobe, max_steps,
                 )
             )
         take = max(k_eff, nrefine)
