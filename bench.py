@@ -196,8 +196,11 @@ def bench_all(corpus, queries, truth_ids):
     n_meta = 1_000_000
     prices = rng.integers(0, 10_000, size=n_meta)
     t0 = time.perf_counter()
-    for i in range(n_meta):
-        mi.add(new_metadata_node_with_id(i + 1, {"cat": cats[i % 5], "price": int(prices[i])}))
+    batch = [
+        new_metadata_node_with_id(i + 1, {"cat": cats[i % 5], "price": int(prices[i])})
+        for i in range(n_meta)
+    ]
+    mi.add_batch(batch)
     t_index = time.perf_counter() - t0
     log(f"metadata add {n_meta}: {t_index:.1f}s ({n_meta / t_index:.0f} docs/s)")
     t0 = time.perf_counter()

@@ -129,21 +129,99 @@ def kmeans(
     return cent_np, assign_np
 
 
+@partial(jax.jit, static_argnames=("tile",))
+def _subspace_step(
+    vectors: jax.Array,     # [Npad, M, dsub]
+    valid: jax.Array,       # [Npad]
+    prev_assign: jax.Array, # [Npad, M] int32
+    codebooks: jax.Array,   # [M, k, dsub]
+    tile: int,
+):
+    """One Lloyd step for ALL M subspaces at once (L2^2)."""
+    n_pad, m, dsub = vectors.shape
+    k = codebooks.shape[1]
+    cn = jnp.sum(codebooks * codebooks, axis=2)  # [M, k]
+    num_tiles = n_pad // tile
+
+    def tile_assign(x_t, valid_t):
+        ip = jnp.einsum(
+            "nmd,mkd->nmk", x_t, codebooks,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        vn = jnp.sum(x_t * x_t, axis=2, keepdims=True)
+        dist = vn + cn[None, :, :] - 2.0 * ip
+        a = jnp.argmin(dist, axis=2).astype(jnp.int32)  # [tile, M]
+        return jnp.where(valid_t[:, None], a, k)
+
+    if num_tiles <= 1:
+        assign = tile_assign(vectors, valid)
+    else:
+        xs = vectors.reshape(num_tiles, tile, m, dsub)
+        vs = valid.reshape(num_tiles, tile)
+        _, assign_t = lax.scan(lambda c, inp: (c, tile_assign(*inp)), None, (xs, vs))
+        assign = assign_t.reshape(n_pad, m)
+
+    # per-subspace segment sums: fold subspace index into the segment id
+    offs = jnp.arange(m, dtype=jnp.int32)[None, :] * (k + 1)
+    seg = (assign + offs).reshape(-1)  # [Npad * M]
+    w = valid.astype(jnp.float32)
+    flat_x = (vectors * w[:, None, None]).reshape(-1, dsub)
+    sums = jax.ops.segment_sum(flat_x, seg, num_segments=m * (k + 1))
+    counts = jax.ops.segment_sum(
+        jnp.repeat(w, m), seg, num_segments=m * (k + 1)
+    )
+    sums = sums.reshape(m, k + 1, dsub)[:, :k]
+    counts = counts.reshape(m, k + 1)[:, :k]
+    changed = jnp.any((assign != prev_assign) & valid[:, None])
+    return assign, sums, counts, changed
+
+
 def kmeans_subspace(
     vectors: np.ndarray,  # [n, M, dsub]
     k: int,
     max_iter: int = DEFAULT_MAX_ITER,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-subspace k-means for PQ codebooks (clustering.go:112-115 forces
-    L2^2). Returns (codebooks [M, k, dsub], assignments [n, M])."""
+    L2^2), all M subspaces trained in LOCKSTEP on device — one batched
+    einsum + segment-sum per iteration instead of M sequential k-means runs.
+    Returns (codebooks [M, k, dsub], assignments [n, M])."""
+    vectors = np.ascontiguousarray(np.asarray(vectors, dtype=np.float32))
     n, m, dsub = vectors.shape
-    codebooks = np.zeros((m, min(k, n), dsub), dtype=np.float32)
-    assigns = np.zeros((n, m), dtype=np.int64)
-    for sub in range(m):
-        c, a = kmeans(vectors[:, sub, :], k, DistanceKind.L2_SQUARED, max_iter)
-        codebooks[sub] = c
-        assigns[:, sub] = a
-    return codebooks, assigns
+    if n == 0 or k <= 0:
+        return np.zeros((m, 0, dsub), np.float32), np.zeros((n, m), np.int64)
+    k = min(k, n)
+    if max_iter <= 0:
+        max_iter = DEFAULT_MAX_ITER
+
+    tile = min(ASSIGN_TILE, 1 << (max(n - 1, 1)).bit_length())
+    flat = vectors.reshape(n, m * dsub)
+    x_pad2, valid = _pad_rows(flat, tile)
+    x_pad = x_pad2.reshape(-1, m, dsub)
+    x_dev = jnp.asarray(x_pad)
+    valid_dev = jnp.asarray(valid)
+
+    # stride init per subspace (same rule as the scalar path)
+    init = np.stack([init_centroids(vectors[:, s, :], k) for s in range(m)])
+    codebooks = jnp.asarray(init)
+    assign = jnp.full((len(x_pad), m), -1, dtype=jnp.int32)
+
+    for _ in range(max_iter):
+        new_assign, sums, counts, changed = _subspace_step(
+            x_dev, valid_dev, assign, codebooks, tile
+        )
+        assign = new_assign
+        if not bool(changed):
+            break
+        counts_col = counts[:, :, None]
+        codebooks = jnp.where(
+            counts_col > 0, sums / jnp.maximum(counts_col, 1.0), codebooks
+        )
+
+    return (
+        np.asarray(codebooks),
+        np.asarray(assign)[:n].astype(np.int64),
+    )
 
 
 @partial(jax.jit, static_argnames=("kind",))

@@ -226,3 +226,24 @@ def test_large_scale_filters(rng):
         if i % 4 == 1 and prices[i] < 100
     ]
     assert ids(res) == want
+
+
+def test_add_batch_matches_add(rng):
+    from comet_tpu.indexes.metadata import gt as _gt
+
+    a, b = RoaringMetadataIndex(), RoaringMetadataIndex()
+    nodes = [
+        new_metadata_node_with_id(
+            i + 1,
+            {"cat": ["x", "y", "z"][i % 3], "price": float(i) / 3, "flag": i % 2 == 0},
+        )
+        for i in range(500)
+    ]
+    for n in nodes:
+        a.add(n)
+    b.add_batch(nodes)
+    for f in (eq("cat", "y"), _gt("price", 50), eq("flag", True), exists("price")):
+        ra = sorted(r.id for r in a.new_search().with_filters(f).execute())
+        rb = sorted(r.id for r in b.new_search().with_filters(f).execute())
+        assert ra == rb, f
+    assert a.count() == b.count() == 500
