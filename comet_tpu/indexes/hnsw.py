@@ -315,6 +315,7 @@ class HNSWIndex(BaseVectorIndex):
             self._distance_kind,
             (4 * efc + 32) // BUILD_EXPAND + 16,
             BUILD_EXPAND,
+            False,  # construction: results = beam (one sort per iteration)
         )
         cand_d = np.asarray(cand_d)
         cand_s = np.asarray(cand_s)
@@ -521,6 +522,12 @@ class HNSWIndex(BaseVectorIndex):
         if fmask is not None:
             allowed = jnp.logical_and(allowed, jnp.asarray(fmask))
         thr = threshold_scalar(builder._threshold)
+        # result admission == beam membership unless something filters
+        fused = (
+            fmask is not None
+            or builder._threshold > 0
+            or store.deleted > 0
+        )
 
         chunks = []
         for q0 in range(0, qpad.shape[0], HNSW_QUERY_CHUNK):
@@ -540,6 +547,7 @@ class HNSWIndex(BaseVectorIndex):
                     self._distance_kind,
                     (4 * ef_pad + 32) // SEARCH_EXPAND + 16,
                     SEARCH_EXPAND,
+                    fused,
                 )
             )
         import jax

@@ -41,7 +41,10 @@ def _neighbor_dists(queries, qn, vectors, sqnorms, neigh, kind):
     return dist
 
 
-@partial(jax.jit, static_argnames=("ef", "k", "kind", "max_iters", "expand"))
+@partial(
+    jax.jit,
+    static_argnames=("ef", "k", "kind", "max_iters", "expand", "fused_results"),
+)
 def beam_search_layer0(
     queries: jax.Array,      # [Q, d] preprocessed
     entry_slots: jax.Array,  # [Q] int32 entry points (layer-0 slots)
@@ -55,6 +58,7 @@ def beam_search_layer0(
     kind: DistanceKind,
     max_iters: int,
     expand: int = 1,
+    fused_results: bool = True,
 ):
     """Lockstep ef-beam search. Returns (res_d [Q,k], res_s [Q,k]) sorted
     ascending with (score, slot) tie-break; empty slots are
@@ -63,7 +67,15 @@ def beam_search_layer0(
     `expand` > 1 expands that many best unexpanded candidates per iteration
     (classic accelerator adaptation: the sequential while_loop is the wall-
     clock bottleneck, so trade a slightly different exploration order for
-    ~expand x fewer iterations; recall impact is negligible at these ef)."""
+    ~expand x fewer iterations; recall impact is negligible at these ef).
+
+    `fused_results=True` merges every ALLOWED scored node into a separate
+    result set each iteration — needed when filters/thresholds/deletes make
+    result admission differ from beam membership. With `fused_results=False`
+    the results are simply the best k of the final beam (exact whenever the
+    admission mask accepts everything the beam holds, i.e. unfiltered
+    searches and graph construction) and the loop runs one sort per
+    iteration instead of two."""
     Q, d = queries.shape
     cap, W = adj.shape
     qn = jnp.sum(queries * queries, axis=1, keepdims=True)  # [Q,1]
@@ -148,19 +160,34 @@ def beam_search_layer0(
         me = jnp.concatenate(
             [expanded, jnp.zeros_like(fresh)], axis=1
         ).astype(jnp.int32)
-        sd, ss, se = lax.sort((md, ms, me), dimension=1, num_keys=2)
+        sd, ss, se = lax.sort(
+            (md, ms, me), dimension=1, num_keys=2 if fused_results else 1
+        )
         cand_d, cand_s, expanded = sd[:, :ef], ss[:, :ef], se[:, :ef].astype(bool)
 
-        # merge ALLOWED fresh neighbors into the result set
-        rd = jnp.where(fresh & allowed[jnp.maximum(neigh, 0)] & (nd <= threshold), nd, INF)
-        rs = jnp.where(rd < INF, neigh, IDX_SENTINEL)
-        res_d, res_s = merge_topk(res_d, res_s, rd, rs, k)
+        if fused_results:
+            # merge ALLOWED fresh neighbors into the result set
+            rd = jnp.where(
+                fresh & allowed[jnp.maximum(neigh, 0)] & (nd <= threshold), nd, INF
+            )
+            rs = jnp.where(rd < INF, neigh, IDX_SENTINEL)
+            res_d, res_s = merge_topk(res_d, res_s, rd, rs, k)
 
         return (i + 1, cand_d, cand_s, expanded, visited, res_d, res_s, jnp.any(active))
 
     state = (jnp.int32(0), cand_d, cand_s, expanded, visited, res_d, res_s, jnp.bool_(True))
     state = lax.while_loop(cond, body, state)
-    return state[5], state[6]
+    if fused_results:
+        return state[5], state[6]
+    # results = best k of the final beam (admission mask still applied once)
+    cand_d, cand_s = state[1], state[2]
+    ok = (cand_s != IDX_SENTINEL) & allowed[jnp.maximum(cand_s, 0)] & (
+        cand_d <= threshold
+    )
+    rd = jnp.where(ok, cand_d, INF)
+    rs = jnp.where(ok, cand_s, IDX_SENTINEL)
+    sd, ss = lax.sort((rd, rs), dimension=1, num_keys=2)
+    return sd[:, :k], ss[:, :k]
 
 
 @partial(jax.jit, donate_argnums=(0,))
