@@ -190,6 +190,58 @@ def bench_all(corpus, queries, truth_ids):
     log(f"bm25 2-term query: {1e3 * dt / nq:.2f} ms/query ({nq / dt:.0f} QPS)")
     results["bm25_2term"] = (nq / dt, None)
 
+    # Hybrid end-to-end (baseline claim: P95 15 ms / P99 35 ms @ 5M docs,
+    # docs/INDEX.md:8380-8386) — vector + text + metadata filter + RRF
+    from comet_tpu.hybrid import new_hybrid_search_index
+    from comet_tpu.indexes.flat import FlatIndex as _FF
+    from comet_tpu.types import FusionKind
+
+    n_h = 100_000
+    hybrid = new_hybrid_search_index(
+        _FF(DIM, DistanceKind.L2), BM25SearchIndex(), RoaringMetadataIndex()
+    )
+    hv = hybrid.vector_index()
+    hv.add_batch(corpus[:n_h], ids=IDS[:n_h])
+    rng_h = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(5000)]
+    zipf_h = rng_h.zipf(1.3, size=(n_h, 12)) % len(words)
+    for i in range(n_h):
+        hybrid._text.add(int(IDS[i]), " ".join(words[t] for t in zipf_h[i]))
+    meta_nodes = [
+        new_metadata_node_with_id(
+            int(IDS[i]), {"cat": ["a", "b", "c", "d"][i % 4], "num": int(i % 1000)}
+        )
+        for i in range(n_h)
+    ]
+    hybrid._metadata.add_batch(meta_nodes)
+    # doc_info bookkeeping (bulk path: sub-indexes were filled directly)
+    from comet_tpu.hybrid import _DocInfo
+
+    hybrid._doc_info = {int(IDS[i]): _DocInfo(True, True, True) for i in range(n_h)}
+
+    lat = []
+    nq = 100
+    # warmup
+    hybrid.new_search().with_vector(queries[0]).with_text("w1 w17").with_metadata(
+        eq("cat", "a")
+    ).with_fusion_kind(FusionKind.RECIPROCAL_RANK).with_k(10).execute()
+    for i in range(nq):
+        t0 = time.perf_counter()
+        hybrid.new_search().with_vector(queries[i]).with_text(
+            f"w{i % 50} w{(i * 13) % 500}"
+        ).with_metadata(eq("cat", ["a", "b", "c", "d"][i % 4])).with_fusion_kind(
+            FusionKind.RECIPROCAL_RANK
+        ).with_k(10).execute()
+        lat.append(time.perf_counter() - t0)
+    lat = np.sort(np.array(lat)) * 1e3
+    log(
+        f"hybrid (vec+text+filter+RRF, {n_h} docs): "
+        f"P50 {lat[int(nq * 0.5)]:.1f} ms, P95 {lat[int(nq * 0.95)]:.1f} ms, "
+        f"{1000 * nq / lat.sum():.0f} QPS sequential"
+    )
+    results["hybrid_p95_ms"] = (float(lat[int(nq * 0.95)]), None)
+    del hybrid
+
     # Metadata (baseline: 1-filter 45us, 4-filter 180us on 10M)
     mi = RoaringMetadataIndex()
     cats = ["a", "b", "c", "d", "e"]
