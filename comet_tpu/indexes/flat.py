@@ -160,18 +160,54 @@ class FlatIndex(BaseVectorIndex):
             valid = jnp.logical_and(valid, jnp.asarray(fmask))
         thr = threshold_scalar(builder._threshold)
 
+        # Pallas fast path (TPU, L2/L2^2, corpus fits one pass): fused
+        # distance+mask+group-min kernel, identical results to the XLA path.
+        from comet_tpu.ops.pallas_scan import (
+            TN as P_TN,
+            TQ as P_TQ,
+            finish_block_select,
+            fused_dist_groupmin,
+            pallas_available,
+        )
+
+        use_pallas = (
+            pallas_available()
+            and self._storage == "float32"
+            and self._distance_kind in (DistanceKind.L2, DistanceKind.L2_SQUARED)
+            and store.capacity % P_TN == 0
+            and store.capacity <= (1 << 21)
+        )
+
         # Chunk the query axis so the [Qc, super_tile] distance buffer stays
         # bounded (~1 GB at Qc=256, st=2^20); chunks dispatch back-to-back
         # without host syncs in between (pipelined through the queue).
         chunks = []
-        for q0 in range(0, qpad.shape[0], QUERY_CHUNK):
-            qc = jnp.asarray(qpad[q0 : q0 + QUERY_CHUNK])
-            chunks.append(
-                block_topk(
-                    qc, vecs, sqnorms, valid, thr,
-                    k_pad, self._distance_kind, super_tile=super_tile,
+        if use_pallas:
+            # kernel computes squared distances; sqrt/threshold adapt below
+            thr_k = thr * thr if self._distance_kind == DistanceKind.L2 else thr
+            xn_masked = jnp.where(valid, sqnorms, jnp.inf)
+            if qpad.shape[0] % P_TQ != 0:
+                grown = np.zeros(
+                    (-(-qpad.shape[0] // P_TQ) * P_TQ, qpad.shape[1]), np.float32
                 )
-            )
+                grown[: qpad.shape[0]] = qpad
+                qpad = grown
+            for q0 in range(0, qpad.shape[0], P_TQ):
+                qc = jnp.asarray(qpad[q0 : q0 + P_TQ])
+                dist, gmin_t = fused_dist_groupmin(qc, vecs, xn_masked, thr_k)
+                s, i = finish_block_select(dist, gmin_t, k_pad)
+                if self._distance_kind == DistanceKind.L2:
+                    s = jnp.sqrt(s)
+                chunks.append((s, i))
+        else:
+            for q0 in range(0, qpad.shape[0], QUERY_CHUNK):
+                qc = jnp.asarray(qpad[q0 : q0 + QUERY_CHUNK])
+                chunks.append(
+                    block_topk(
+                        qc, vecs, sqnorms, valid, thr,
+                        k_pad, self._distance_kind, super_tile=super_tile,
+                    )
+                )
         import jax
 
         chunks = jax.device_get(chunks)
