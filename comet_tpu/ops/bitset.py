@@ -143,13 +143,16 @@ class BSI:
     bitmap; every comparison is O(64) vectorized word operations.
     """
 
-    __slots__ = ("planes", "ebm", "values")
+    __slots__ = ("planes", "ebm", "values", "_version", "_stack_version", "_stacked")
 
     def __init__(self):
         self.planes = [Bitset() for _ in range(_WORD)]
         self.ebm = Bitset()
         # doc -> biased value, kept for remove/update bookkeeping
         self.values: dict[int, int] = {}
+        self._version = 0
+        self._stack_version = -1
+        self._stacked: np.ndarray | None = None  # [64, W] plane matrix cache
 
     def set_value(self, doc_id: int, value: int) -> None:
         biased = (int(value) + (1 << 63)) & ((1 << 64) - 1)
@@ -163,6 +166,7 @@ class BSI:
         for b in range(_WORD):
             if (biased >> b) & 1:
                 self.planes[b].add(doc_id)
+        self._version += 1
 
     def set_values(self, doc_ids: np.ndarray, values: np.ndarray) -> None:
         """Bulk insert: one vectorized pass per plane."""
@@ -180,6 +184,7 @@ class BSI:
             sel = (biased >> np.uint64(b)) & np.uint64(1) == 1
             if sel.any():
                 self.planes[b].add_many(doc_ids[sel])
+        self._version += 1
 
     def clear_value(self, doc_id: int) -> None:
         biased = self.values.pop(doc_id, None)
@@ -189,21 +194,35 @@ class BSI:
         for b in range(_WORD):
             if (biased >> b) & 1:
                 self.planes[b].discard(doc_id)
+        self._version += 1
 
     # -- comparisons (bit-sliced) ------------------------------------------
+
+    def _stack(self) -> np.ndarray:
+        """Width-aligned [64, W] plane matrix, cached until the next write —
+        comparisons then run 64 word-ops over matrix rows without per-plane
+        reallocation."""
+        if self._stack_version != self._version or self._stacked is None:
+            n = max(len(p.words) for p in self.planes)
+            n = max(n, len(self.ebm.words))
+            stacked = np.zeros((_WORD, n), dtype=np.uint64)
+            for b in range(_WORD):
+                pw = self.planes[b].words
+                stacked[b, : len(pw)] = pw
+            self._stacked = stacked
+            self._stack_version = self._version
+        return self._stacked
 
     def _split(self, value: int) -> tuple[Bitset, Bitset]:
         """Returns (gt, eq) bitsets vs the biased comparison value."""
         biased = (int(value) + (1 << 63)) & ((1 << 64) - 1)
-        n = max(len(p.words) for p in self.planes)
-        n = max(n, len(self.ebm.words))
+        stacked = self._stack()
+        n = stacked.shape[1]
         eq = np.zeros(n, dtype=np.uint64)
         eq[: len(self.ebm.words)] = self.ebm.words
         gt = np.zeros(n, dtype=np.uint64)
         for b in range(_WORD - 1, -1, -1):
-            plane = np.zeros(n, dtype=np.uint64)
-            pw = self.planes[b].words
-            plane[: len(pw)] = pw
+            plane = stacked[b]
             if (biased >> b) & 1:
                 eq &= plane
             else:
