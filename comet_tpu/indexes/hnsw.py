@@ -60,7 +60,7 @@ MAGIC = b"CHNW"
 VERSION = 1
 
 MAX_LEVEL = 16  # hnsw_index.go:474-484 cap
-HNSW_QUERY_CHUNK = 64
+HNSW_QUERY_CHUNK = 256
 BUILD_SUB_BATCH = 512
 # Beam candidates expanded per while_loop iteration (see ops/graph.py):
 # higher = fewer sequential iterations on device.
