@@ -53,7 +53,9 @@ from comet_tpu.indexes.metadata import (
     RoaringMetadataIndex,
     Filter,
     FilterGroup,
+    MetadataResult,
     eq, ne, gt, gte, lt, lte, range_filter, in_filter, not_in, exists, not_exists,
+    not_, between, anyof, noneof, is_null, is_not_null,
 )
 from comet_tpu.fusion import Fusion, FusionConfig, new_fusion, default_fusion
 from comet_tpu.hybrid import HybridSearchIndex, new_hybrid_search_index
