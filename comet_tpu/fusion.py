@@ -17,7 +17,7 @@ Fused scores are float64 on purpose, like the reference
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

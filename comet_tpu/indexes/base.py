@@ -19,9 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from comet_tpu.core.aggregation import aggregate_scores
-from comet_tpu.core.filter import DocumentFilter
-from comet_tpu.core.limiter import autocut_results, limit_results, sanitize_k
-from comet_tpu.core.node import VectorNode, new_vector_node
+from comet_tpu.core.limiter import autocut_results, limit_results
+from comet_tpu.core.node import VectorNode
 from comet_tpu.core.results import Reranker, VectorResult
 from comet_tpu.types import (
     DimensionMismatchError,

@@ -22,7 +22,7 @@ import numpy as np
 
 from comet_tpu.core.filter import DocumentFilter
 from comet_tpu.core.limiter import sanitize_k
-from comet_tpu.core.node import VectorNode, new_vector_node, reserve_node_ids
+from comet_tpu.core.node import VectorNode, reserve_node_ids
 from comet_tpu.indexes.base import (
     BaseVectorIndex,
     INVALID_ID,

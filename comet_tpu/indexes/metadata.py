@@ -34,7 +34,7 @@ import numpy as np
 from comet_tpu.core.node import MetadataNode
 from comet_tpu.io import serial
 from comet_tpu.ops.bitset import BSI, Bitset
-from comet_tpu.types import CometError, InvalidConfigError
+from comet_tpu.types import InvalidConfigError
 
 MAGIC = b"CMTX"
 VERSION = 1
