@@ -67,3 +67,5 @@ from comet_tpu.storage import (
 )
 
 __version__ = "0.1.0"
+
+__all__ = [n for n in dir() if not n.startswith("_")]
