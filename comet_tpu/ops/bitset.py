@@ -79,6 +79,19 @@ class Bitset:
             np.uint64(1) << (ids & np.uint64(63)),
         )
 
+    def discard_many(self, ids: np.ndarray) -> None:
+        ids = np.asarray(ids, dtype=np.uint64)
+        if ids.size == 0:
+            return
+        w = (ids >> np.uint64(6)).astype(np.int64)
+        in_range = w < len(self.words)
+        if not in_range.all():
+            ids = ids[in_range]
+            w = w[in_range]
+        np.bitwise_and.at(
+            self.words, w, ~(np.uint64(1) << (ids & np.uint64(63)))
+        )
+
     def contains_many(self, ids: np.ndarray) -> np.ndarray:
         """Vectorized membership over an id array -> bool array."""
         ids = np.asarray(ids, dtype=np.uint64)
@@ -169,19 +182,41 @@ class BSI:
         self._version += 1
 
     def set_values(self, doc_ids: np.ndarray, values: np.ndarray) -> None:
-        """Bulk insert: one vectorized pass per plane."""
+        """Bulk insert/update: vectorized per-plane passes.
+
+        Duplicate doc_ids within one batch keep the LAST occurrence (matching
+        the scalar set_value applied in order); in-batch duplicates and
+        updates of existing docs discard the old value's plane bits first so
+        no stale bits survive.
+        """
         doc_ids = np.asarray(doc_ids, dtype=np.uint64)
-        biased = (np.asarray(values, dtype=np.int64).astype(np.uint64) + _BIAS)
-        for d, v in zip(doc_ids.tolist(), biased.tolist()):
-            old = self.values.get(int(d))
-            if old is not None and old != int(v):
-                for b in range(_WORD):
-                    if (old >> b) & 1:
-                        self.planes[b].discard(int(d))
-            self.values[int(d)] = int(v)
+        biased = np.asarray(values, dtype=np.int64).astype(np.uint64) + _BIAS
+        if doc_ids.size == 0:
+            return
+        # dedup keeping the last occurrence of each doc_id
+        _, first_in_rev = np.unique(doc_ids[::-1], return_index=True)
+        if len(first_in_rev) != len(doc_ids):
+            keep = np.sort(len(doc_ids) - 1 - first_in_rev)
+            doc_ids = doc_ids[keep]
+            biased = biased[keep]
+        # old values (docs not present default to the new value -> no-op diff)
+        get = self.values.get
+        olds = np.fromiter(
+            (get(int(d), v) for d, v in zip(doc_ids.tolist(), biased.tolist())),
+            dtype=np.uint64,
+            count=len(doc_ids),
+        )
+        diff = olds != biased
+        self.values.update(zip(doc_ids.tolist(), biased.tolist()))
         self.ebm.add_many(doc_ids)
+        one = np.uint64(1)
         for b in range(_WORD):
-            sel = (biased >> np.uint64(b)) & np.uint64(1) == 1
+            bit = np.uint64(b)
+            if diff.any():
+                clr = diff & (((olds >> bit) & one) == one)
+                if clr.any():
+                    self.planes[b].discard_many(doc_ids[clr])
+            sel = ((biased >> bit) & one) == one
             if sel.any():
                 self.planes[b].add_many(doc_ids[sel])
         self._version += 1

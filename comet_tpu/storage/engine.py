@@ -84,6 +84,10 @@ class PersistentHybridIndex:
         self._trained_vector_blob: bytes | None = None
         self._closed = False
         self._mu = threading.RLock()
+        # serializes flushes: a user-thread flush()/close() racing the
+        # background _flush_worker must not both serialize the same frozen
+        # memtable into duplicate segments
+        self._flush_mu = threading.Lock()
 
         for sid in self.provider.list_segments():
             self.segments.add(
@@ -261,9 +265,10 @@ class PersistentHybridIndex:
         """Freeze the active memtable (if non-empty) and flush all frozen
         memtables to segments (storage.go:650-679)."""
         self._check_open()
-        if self.memtables.mutable.num_docs > 0:
-            self.memtables.rotate()
-        self._flush_frozen()
+        with self._flush_mu:
+            if self.memtables.mutable.num_docs > 0:
+                self.memtables.rotate()
+            self._flush_frozen()
 
     def _flush_frozen(self) -> None:
         for mt in self.memtables.list_frozen():

@@ -51,23 +51,23 @@ class Memtable:
         return self.size_used + estimate_document_size(vector, text, metadata) <= self.size_limit
 
     def add(self, vector, text, metadata) -> int:
-        with self._mu:
-            if self.frozen:
-                raise MemtableFrozenError("memtable is frozen")
-            doc_id = self.index.add(vector, text, metadata)
-            if self.wal is not None:
-                self.wal.append_add(doc_id, vector, text, metadata)
-            self.size_used += estimate_document_size(vector, text, metadata)
-            self.num_docs += 1
-            return doc_id
+        from comet_tpu.core.node import next_node_id
+
+        doc_id = next_node_id()
+        self.add_with_id(doc_id, vector, text, metadata)
+        return doc_id
 
     def add_with_id(self, doc_id: int, vector, text, metadata) -> None:
         with self._mu:
             if self.frozen:
                 raise MemtableFrozenError("memtable is frozen")
-            self.index.add_with_id(doc_id, vector, text, metadata)
+            # WAL first (wal.py contract): a crash between the two leaves at
+            # worst an unacknowledged write in the log (replay re-adds it),
+            # never an acknowledged in-memory write recovery can't replay.
+            # A WAL write error raises before the index is touched.
             if self.wal is not None:
                 self.wal.append_add(doc_id, vector, text, metadata)
+            self.index.add_with_id(doc_id, vector, text, metadata)
             self.size_used += estimate_document_size(vector, text, metadata)
             self.num_docs += 1
 
@@ -75,9 +75,9 @@ class Memtable:
         with self._mu:
             if not self.index.has_document(doc_id):
                 return False
-            self.index.remove(doc_id)
             if self.wal is not None:
-                self.wal.append_remove(doc_id)
+                self.wal.append_remove(doc_id)  # WAL before the index mutates
+            self.index.remove(doc_id)
             self.num_docs -= 1
             return True
 
@@ -122,9 +122,9 @@ class MemtableQueue:
             for mt in reversed(self.queue):
                 with mt._mu:
                     if mt.index.has_document(doc_id):
-                        mt.index.remove(doc_id)
                         if mt.wal is not None:
                             mt.wal.append_remove(doc_id)
+                        mt.index.remove(doc_id)
                         mt.num_docs -= 1
                         return True
             return False

@@ -84,3 +84,49 @@ def test_bsi_extremes():
     assert set(bsi.compare_gt(0).to_array().tolist()) == {1}
     assert set(bsi.compare_lt(0).to_array().tolist()) == {2}
     assert set(bsi.compare_eq(0).to_array().tolist()) == {3}
+
+
+def test_bsi_batch_duplicate_doc_ids_keep_last():
+    """Regression: duplicated doc_ids in one set_values batch must behave
+    like sequential set_value calls (last value wins, no stale plane bits)."""
+    bsi = BSI()
+    bsi.set_values(np.array([7, 7]), np.array([3, 4]))
+    assert list(bsi.compare_eq(4).to_array()) == [7]
+    assert bsi.compare_eq(3).is_empty()
+    assert bsi.compare_eq(7).is_empty()  # stale-bit union 3|4 = 7 must not match
+    assert bsi.compare_gt(4).is_empty()
+    # a later update must fully discard the old value's bits
+    bsi.set_values(np.array([7]), np.array([1]))
+    assert list(bsi.compare_eq(1).to_array()) == [7]
+    assert bsi.compare_eq(4).is_empty()
+
+
+def test_bsi_batch_update_matches_scalar_path(rng):
+    """Batched updates over existing docs == scalar set_value sequence."""
+    a, b = BSI(), BSI()
+    ids = rng.integers(0, 200, size=500)
+    vals = rng.integers(-(10**6), 10**6, size=500)
+    half = 250
+    a.set_values(ids[:half], vals[:half])
+    a.set_values(ids[half:], vals[half:])
+    for i, v in zip(ids.tolist(), vals.tolist()):
+        b.set_value(i, v)
+    for probe in [-(10**6), -5, 0, 17, 10**6]:
+        assert np.array_equal(
+            a.compare_gt(probe).to_array(), b.compare_gt(probe).to_array()
+        )
+        assert np.array_equal(
+            a.compare_eq(probe).to_array(), b.compare_eq(probe).to_array()
+        )
+    assert np.array_equal(a.ebm.to_array(), b.ebm.to_array())
+
+
+def test_discard_many(rng):
+    bs = Bitset()
+    ids = rng.integers(0, 5000, size=1000)
+    bs.add_many(ids)
+    drop = ids[::3]
+    bs.discard_many(drop)
+    expect = sorted(set(ids.tolist()) - set(drop.tolist()))
+    assert list(bs.to_array()) == expect
+    bs.discard_many(np.array([999999]))  # out of range: no-op, no grow

@@ -321,3 +321,24 @@ def test_auto_ids_do_not_collide_after_reopen(tmp_path):
         assert [r.id for r in res] == [new_id]
     finally:
         store2.close()
+
+
+def test_concurrent_flush_no_duplicate_segments(tmp_path):
+    """Regression: a user-thread flush racing the background flush worker
+    must not serialize the same frozen memtable into two segments."""
+    import threading
+
+    cfg = make_config(tmp_path, memtable_size_limit=256, flush_threshold=10**9)
+    with open_persistent_hybrid_index(cfg) as store:
+        add_docs(store, 40)  # forces several frozen memtables
+        n_docs = 40
+        threads = [threading.Thread(target=store.flush) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # every doc present exactly once across all segments
+        total = sum(
+            seg.get_index().count() for seg in store.segments.list()
+        ) + sum(mt.index.count() for mt in store.memtables.list_all())
+        assert total == n_docs
