@@ -75,6 +75,10 @@ class FlatIndex(BaseVectorIndex):
         self._storage = storage
         self._dev_cast = None
         self._dev_cast_version = -1
+        self._dev_t = None
+        self._dev_t_version = -1
+        self._mask_cache = None
+        self._mask_key = None
 
     # -- contracts -----------------------------------------------------------
 
@@ -136,15 +140,38 @@ class FlatIndex(BaseVectorIndex):
             self._dev_cast_version = self._store.version
         return self._dev_cast
 
+    def _device_corpus_t(self, vecs):
+        """Transposed [d, capacity] corpus for the MXU-friendly Pallas
+        pipeline, materialized once per store version."""
+        if self._dev_t_version != self._store.version:
+            import jax
+
+            self._dev_t = jax.jit(lambda v: v.T)(vecs)
+            self._dev_t_version = self._store.version
+        return self._dev_t
+
     def _search_batch(self, queries: np.ndarray, builder: VectorSearchBuilder):
+        return self._search_collect(self._search_launch(queries, builder))
+
+    def _mask_vec(self, valid, sqnorms, cosine: bool, fmask):
+        """Additive +inf mask for the Pallas kernel; cached per store
+        version when there is no per-call document filter."""
+        if fmask is not None:
+            # per-call filter already folded into `valid`; not cacheable
+            return jnp.where(valid, 0.0 if cosine else sqnorms, jnp.inf)
+        key = (self._store.version, cosine, self._storage)
+        if self._mask_key != key:
+            self._mask_cache = jnp.where(
+                valid, 0.0 if cosine else sqnorms, jnp.inf
+            )
+            self._mask_key = key
+        return self._mask_cache
+
+    def _search_launch(self, queries: np.ndarray, builder: VectorSearchBuilder):
         store = self._store
         n_slots = store.n  # includes soft-deleted rows, like len(index.vectors)
         if n_slots == 0:
-            q = queries.shape[0]
-            return (
-                np.full((q, 0), INVALID_ID, dtype=np.uint32),
-                np.zeros((q, 0), dtype=np.float32),
-            )
+            return ("empty", queries.shape[0])
 
         k_eff = sanitize_k(builder._k, n_slots)
         k_pad = min(next_pow2(k_eff), store.capacity)
@@ -160,62 +187,89 @@ class FlatIndex(BaseVectorIndex):
             valid = jnp.logical_and(valid, jnp.asarray(fmask))
         thr = threshold_scalar(builder._threshold)
 
-        # Pallas fast path (TPU, L2/L2^2, corpus fits one pass): fused
-        # distance+mask+group-min kernel, identical results to the XLA path.
+        # Pallas fast path (TPU, corpus fits one pass): fused distance +
+        # sort-network selection pipeline, ONE device dispatch per batch —
+        # identical results to the XLA fallback path (same block-select
+        # proof, same tie order).
         from comet_tpu.ops.pallas_scan import (
+            GROUP as P_GROUP,
             TN as P_TN,
             TQ as P_TQ,
-            finish_block_select,
-            fused_dist_groupmin,
+            flat_topk_pipeline,
             pallas_available,
         )
 
         use_pallas = (
             pallas_available()
-            and self._storage == "float32"
-            and self._distance_kind in (DistanceKind.L2, DistanceKind.L2_SQUARED)
+            and self._storage in ("float32", "bfloat16")
             and store.capacity % P_TN == 0
             and store.capacity <= (1 << 21)
+            and max(k_pad, 8) <= store.capacity // P_GROUP
         )
 
-        # Chunk the query axis so the [Qc, super_tile] distance buffer stays
-        # bounded (~1 GB at Qc=256, st=2^20); chunks dispatch back-to-back
-        # without host syncs in between (pipelined through the queue).
-        chunks = []
         if use_pallas:
-            # kernel computes squared distances; sqrt/threshold adapt below
-            thr_k = thr * thr if self._distance_kind == DistanceKind.L2 else thr
-            xn_masked = jnp.where(valid, sqnorms, jnp.inf)
+            cosine = self._distance_kind == DistanceKind.COSINE
+            if cosine:
+                thr_k = thr
+            else:
+                # kernel computes squared distances; sqrt/threshold adapt
+                thr_k = thr * thr if self._distance_kind == DistanceKind.L2 else thr
+            mask_vec = self._mask_vec(valid, sqnorms, cosine, fmask)
             if qpad.shape[0] % P_TQ != 0:
                 grown = np.zeros(
                     (-(-qpad.shape[0] // P_TQ) * P_TQ, qpad.shape[1]), np.float32
                 )
                 grown[: qpad.shape[0]] = qpad
                 qpad = grown
-            for q0 in range(0, qpad.shape[0], P_TQ):
-                qc = jnp.asarray(qpad[q0 : q0 + P_TQ])
-                dist, gmin_t = fused_dist_groupmin(qc, vecs, xn_masked, thr_k)
-                s, i = finish_block_select(dist, gmin_t, k_pad)
-                if self._distance_kind == DistanceKind.L2:
-                    s = jnp.sqrt(s)
-                chunks.append((s, i))
-        else:
-            for q0 in range(0, qpad.shape[0], QUERY_CHUNK):
-                qc = jnp.asarray(qpad[q0 : q0 + QUERY_CHUNK])
-                chunks.append(
-                    block_topk(
-                        qc, vecs, sqnorms, valid, thr,
-                        k_pad, self._distance_kind, super_tile=super_tile,
-                    )
+            corpus_t = self._device_corpus_t(vecs)
+            s, i = flat_topk_pipeline(
+                jnp.asarray(qpad), corpus_t, mask_vec, thr_k, k_pad,
+                cosine=cosine,
+                sqrt_out=self._distance_kind == DistanceKind.L2,
+            )
+            # start the host copies now so a pipelined caller's next batch
+            # computes while these results stream back over the tunnel
+            try:
+                s.copy_to_host_async()
+                i.copy_to_host_async()
+            except AttributeError:  # pragma: no cover - non-jax.Array impls
+                pass
+            return ("dev", s, i, q_real, k_eff, store.ids)
+
+        chunks = []
+        for q0 in range(0, qpad.shape[0], QUERY_CHUNK):
+            qc = jnp.asarray(qpad[q0 : q0 + QUERY_CHUNK])
+            chunks.append(
+                block_topk(
+                    qc, vecs, sqnorms, valid, thr,
+                    k_pad, self._distance_kind, super_tile=super_tile,
                 )
+            )
+        return ("dev_chunks", chunks, q_real, k_eff, store.ids)
+
+    def _search_collect(self, handle):
         import jax
 
-        chunks = jax.device_get(chunks)
-        scores = np.concatenate([s for s, _ in chunks])[:q_real, :k_eff]
-        slots_np = np.concatenate([i for _, i in chunks])[:q_real, :k_eff]
+        kind = handle[0]
+        if kind == "empty":
+            q = handle[1]
+            return (
+                np.full((q, 0), INVALID_ID, dtype=np.uint32),
+                np.zeros((q, 0), dtype=np.float32),
+            )
+        if kind == "dev":
+            _, s, i, q_real, k_eff, ids_snap = handle
+            scores, slots_np = jax.device_get((s, i))
+            scores = scores[:q_real, :k_eff]
+            slots_np = slots_np[:q_real, :k_eff]
+        else:
+            _, chunks, q_real, k_eff, ids_snap = handle
+            chunks = jax.device_get(chunks)
+            scores = np.concatenate([s for s, _ in chunks])[:q_real, :k_eff]
+            slots_np = np.concatenate([i for _, i in chunks])[:q_real, :k_eff]
 
         hit = slots_np != int(IDX_SENTINEL)
-        ids = np.where(hit, store.ids[np.where(hit, slots_np, 0)], INVALID_ID)
+        ids = np.where(hit, ids_snap[np.where(hit, slots_np, 0)], INVALID_ID)
         return ids.astype(np.uint32), scores
 
     # -- serialization ----------------------------------------------------------

@@ -1,18 +1,34 @@
-"""Pallas TPU kernel: fused distance + masking + per-group min for the
-exact flat scan.
+"""Pallas TPU kernels for the exact flat scan: fused distance + masking +
+in-kernel group selection, plus a fully fused single-dispatch top-k pipeline.
 
-The XLA path materializes the [Q, ST] distance tile to HBM, then re-reads
-it to reduce 128-wide group minima (ops/topk.block_topk) — an extra full
-pass of HBM traffic plus a slow minor-axis reduce. This kernel computes the
-distance block on the MXU and writes BOTH the distance tile and its group
-minima in one pass while the block is still in VMEM.
+Profiling on the v5e (scripts/profile_*.py) shaped this design:
+  1. every Python-level dispatch pays a ~2.6 ms submission floor through
+     the axon tunnel, so the WHOLE batch search (distances, selection,
+     gather, final ordering) compiles into ONE jitted call;
+  2. XLA's top_k/variadic-sort selection costs 4-6 ms per 256-query call —
+     selection, not the distance matmul, dominates; selection runs as
+     bitonic networks (ops/sortnet.py) — the group stage INSIDE this
+     kernel's VMEM scratch, the candidate stage in its own kernel;
+  3. XLA's candidate gather runs at ~4 GB/s, so the group width trades
+     gather volume against in-kernel merge work (GROUP=32 default);
+  4. the [Q, d] x [N, d] einsum wastes the MXU on the transposed operand;
+     the corpus is kept device-resident TRANSPOSED [d, N] so every tile is
+     a native [TQ, d] x [d, TN] systolic pass.
 
-Masking trick: instead of a separate validity operand, invalid rows carry
-+inf squared norms (dist = ||q||^2 + inf - 2 q.x = +inf), so the mask rides
-the sqnorm stream for free; the threshold is a (1, 1) SMEM scalar.
+The [Q, N] distance tile still lands in HBM (that write is ~1.3 ms/GB and
+the candidate gather needs it), but it is produced and consumed inside one
+dispatch. Masking trick: invalid rows carry +inf in the additive mask
+vector (squared norms for L2, a 0/+inf vector for cosine) so validity rides
+an existing operand. Replaces the reference's per-vector scalar loop
+(flat_index_search.go:254-294) wholesale.
 
-Falls back to the XLA path off-TPU (tests exercise the kernel in
-interpreter mode for numerics).
+Exactness: block-select (see ops/topk.block_topk for the proof — the group
+width does not matter, only that groups are contiguous and at least
+min(k, n_groups) groups are kept). The in-kernel running selection is exact
+because the k-th best group minimum only ever decreases as tiles stream,
+so any finally-selected group was selected the moment it was scanned.
+Determinism: the (score asc, index asc) order is built into the sort
+network comparators.
 """
 
 from __future__ import annotations
@@ -26,100 +42,216 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-GROUP = 128     # rows per selection group (must match ops.topk block size)
+from comet_tpu.ops.sortnet import (
+    _merge_halve,
+    topk_body,
+    topk_cl,
+)
+
+GROUP = 128     # rows per selection group (= lane width: Mosaic cannot
+                # split the minor dim below 128 for the in-kernel reduce)
 TQ = 256        # query rows per grid step
 TN = 2048       # corpus rows per grid step
 
+INF = jnp.inf
+IDX_SENTINEL = np.int32(2**31 - 1)  # plain numpy: jnp scalars become traced
+                                    # constants that Pallas kernels reject
 
-def _kernel(q_ref, qn_ref, x_ref, xn_ref, thr_ref, dist_ref, gmin_ref):
-    # [TQ, d] x [TN, d]^T on the MXU, f32 accumulation
+
+def _kernel(
+    q_ref, qn_ref, x_ref, xn_ref, thr_ref,
+    dist_ref, gsel_ref,
+    buf_v, buf_i,
+    *, cosine, kb, group, accum_steps,
+):
+    """One (query-block i, corpus-tile j) step: MXU distances -> HBM dist
+    tile + per-group minima merged into a running top-kb in VMEM scratch."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    new_per_step = TN // group
+
+    # ---- distances on the MXU ------------------------------------------
+    if x_ref.dtype == jnp.bfloat16:
+        q = q_ref[:].astype(jnp.bfloat16)
+        prec = lax.Precision.DEFAULT
+    else:
+        q = q_ref[:]
+        prec = lax.Precision.HIGHEST
     ip = lax.dot_general(
-        q_ref[:], x_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        q, x_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
+        precision=prec,
     )
-    dist = jnp.maximum(qn_ref[:] + xn_ref[:] - 2.0 * ip, 0.0)  # [TQ, TN]
+    if cosine:
+        dist = 1.0 - jnp.clip(ip, -1.0, 1.0) + xn_ref[:]
+    else:
+        dist = jnp.maximum(qn_ref[:] + xn_ref[:] - 2.0 * ip, 0.0)  # [TQ, TN]
     thr = thr_ref[0, 0]
     dist = jnp.where(dist <= thr, dist, jnp.inf)
     dist_ref[:] = dist
-    # transposed [G_block, TQ] so the block's minor dim is 128-aligned
-    gmin_ref[:] = jnp.min(dist.reshape(TQ, TN // GROUP, GROUP), axis=2).T
 
+    # ---- group minima for this tile, [new_per_step, TQ] ------------------
+    gmin = jnp.min(dist.reshape(TQ, new_per_step, group), axis=2).T
+    gids = (
+        j * new_per_step
+        + jax.lax.broadcasted_iota(jnp.int32, (new_per_step, TQ), 0)
+    )
 
-@partial(jax.jit, static_argnames=("interpret",))
-def fused_dist_groupmin(
-    queries: jax.Array,        # [Q, d] f32, Q % TQ == 0
-    corpus: jax.Array,         # [N, d] f32, N % TN == 0
-    masked_sqnorms: jax.Array, # [N] f32, +inf on invalid rows
-    threshold: jax.Array,      # scalar f32 (+inf disables)
-    interpret: bool = False,
-):
-    """Returns (dist [Q, N] f32 with +inf on masked/over-threshold entries,
-    gmin_t [N // GROUP, Q] f32 per-contiguous-group minima, TRANSPOSED —
-    Mosaic requires the block minor dim to be 128-aligned)."""
-    Q, d = queries.shape
-    N = corpus.shape[0]
-    assert Q % TQ == 0 and N % TN == 0, (Q, N)
-    qn = jnp.sum(queries * queries, axis=1, keepdims=True)  # [Q, 1]
-    xn2d = masked_sqnorms[None, :]                          # [1, N]
-    thr2d = threshold.reshape(1, 1)
+    # ---- running selection ----------------------------------------------
+    @pl.when(j == 0)
+    def _():
+        buf_v[:] = jnp.full(buf_v.shape, INF, dtype=jnp.float32)
+        buf_i[:] = jnp.full(buf_i.shape, IDX_SENTINEL, dtype=jnp.int32)
 
-    grid = (Q // TQ, N // TN)
-    return pl.pallas_call(
-        _kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((TQ, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TQ, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((TQ, TN), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (TN // GROUP, TQ), lambda i, j: (j, i), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Q, N), jnp.float32),
-            jax.ShapeDtypeStruct((N // GROUP, Q), jnp.float32),
-        ],
-        interpret=interpret,
-    )(queries, qn, corpus, xn2d, thr2d)
+    slot = kb + (j % accum_steps) * new_per_step
+    buf_v[pl.ds(slot, new_per_step), :] = gmin
+    buf_i[pl.ds(slot, new_per_step), :] = gids
+
+    accum_rows = buf_v.shape[0] - kb
+
+    @pl.when((j % accum_steps == accum_steps - 1) | (j == nj - 1))
+    def _():
+        # reduce the accumulated rows to their top-kb sorted DESC, merge
+        # with the running ASC kb rows (concat is bitonic), keep the half
+        nv, ni = topk_body(
+            buf_v[pl.ds(kb, accum_rows), :],
+            buf_i[pl.ds(kb, accum_rows), :],
+            kb,
+            first_desc=True,
+        )
+        rv = jnp.concatenate([buf_v[pl.ds(0, kb), :], nv], axis=0)
+        ri = jnp.concatenate([buf_i[pl.ds(0, kb), :], ni], axis=0)
+        rv, ri = _merge_halve(rv, ri, kb)
+        buf_v[pl.ds(0, kb), :] = rv
+        buf_i[pl.ds(0, kb), :] = ri
+        # reset the accumulation area for the next window
+        buf_v[pl.ds(kb, accum_rows), :] = jnp.full(
+            (accum_rows, TQ), INF, dtype=jnp.float32
+        )
+
+    @pl.when(j == nj - 1)
+    def _():
+        gsel_ref[0, :, :] = buf_i[pl.ds(0, kb), :]
 
 
 def pallas_available() -> bool:
     return jax.default_backend() == "tpu"
 
 
-@partial(jax.jit, static_argnames=("k",))
-def finish_block_select(dist: jax.Array, gmin_t: jax.Array, k: int):
-    """Select min(k, G) best groups per query and sort their members —
-    phase 2 of the exact block-select top-k (see ops/topk.block_topk for
-    the exactness argument)."""
-    from comet_tpu.ops.topk import IDX_SENTINEL, INF
+@partial(jax.jit, static_argnames=("kb", "cosine", "group", "interpret"))
+def fused_dist_select(
+    queries: jax.Array,        # [Q, d] f32, Q % TQ == 0
+    corpus_t: jax.Array,       # [d, N] f32/bf16 (TRANSPOSED), N % TN == 0
+    mask_vec: jax.Array,       # [N] f32: L2 -> sqnorms (+inf invalid);
+                               #          cosine -> 0 (+inf invalid)
+    threshold: jax.Array,      # scalar f32 (+inf disables)
+    kb: int,                   # groups to keep per query (pow2)
+    cosine: bool = False,
+    group: int = GROUP,
+    interpret: bool = False,
+):
+    """Returns (dist [Q, N] f32 (+inf on masked/over-threshold entries),
+    gsel [Q//TQ, kb, TQ] i32 — the top-kb group ids per query, exact)."""
+    Q, d = queries.shape
+    N = corpus_t.shape[1]
+    assert Q % TQ == 0 and N % TN == 0, (Q, N)
+    new_per_step = TN // group
+    # accumulate ~kb new rows between merges (>=1 tile, pow2 ratio)
+    accum_steps = max(kb // new_per_step, 1)
+    qn = jnp.sum(queries * queries, axis=1, keepdims=True)  # [Q, 1]
+    xn2d = mask_vec[None, :]                                # [1, N]
+    thr2d = threshold.reshape(1, 1)
 
-    Q, N = dist.shape
-    gmin = gmin_t.T
-    G = gmin.shape[1]
-    kb = min(k, G)
-    _, sel = lax.top_k(-gmin, kb)
-    dist3 = dist.reshape(Q, G, GROUP)
-    gathered = jnp.take_along_axis(dist3, sel[:, :, None], axis=1)
-    gidx = sel[:, :, None] * GROUP + lax.broadcasted_iota(
-        jnp.int32, (Q, kb, GROUP), 2
+    grid = (Q // TQ, N // TN)
+    return pl.pallas_call(
+        partial(
+            _kernel, cosine=cosine, kb=kb, group=group,
+            accum_steps=accum_steps,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TQ, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TQ, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, TN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TQ, TN), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kb, TQ), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, N), jnp.float32),
+            jax.ShapeDtypeStruct((Q // TQ, kb, TQ), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((kb + max(kb, new_per_step), TQ), jnp.float32),
+            pltpu.VMEM((kb + max(kb, new_per_step), TQ), jnp.int32),
+        ],
+        interpret=interpret,
+    )(queries, qn, corpus_t, xn2d, thr2d)
+
+
+def _chunk_topk(args, corpus_t, mask_vec, thr, k, kb, group, cosine,
+                sqrt_out, interpret):
+    """One TQ-query chunk: distances + group select -> gather -> final
+    exact top-k. All stages stay on device inside the enclosing jit."""
+    qc = args
+    G = corpus_t.shape[1] // group
+    dist, gsel = fused_dist_select(
+        qc, corpus_t, mask_vec, thr, kb,
+        cosine=cosine, group=group, interpret=interpret,
     )
-    ss, ii = lax.sort(
-        (gathered.reshape(Q, kb * GROUP), gidx.reshape(Q, kb * GROUP)),
-        dimension=1,
-        num_keys=2,
+    gsel = gsel[0]  # [kb, TQ]
+    # gather the winning groups' member distances
+    sel_q = gsel.T  # [TQ, kb]
+    cand = jnp.take_along_axis(
+        dist.reshape(TQ, G, group), sel_q[:, :, None], axis=1
+    )  # [TQ, kb, group]
+    cand_cl = cand.reshape(TQ, kb * group).T  # [C, TQ]
+    cidx = (
+        gsel[:, None, :] * group
+        + lax.broadcasted_iota(jnp.int32, (kb, group, TQ), 1)
+    ).reshape(kb * group, TQ)
+    fv, fi = topk_cl(cand_cl, cidx, k, interpret=interpret)  # [k_pow2, TQ]
+    fv, fi = fv[:k].T, fi[:k].T  # [TQ, k]
+    fi = jnp.where(fv == INF, IDX_SENTINEL, fi)
+    if sqrt_out:
+        fv = jnp.sqrt(fv)
+    return fv, fi
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "cosine", "group", "sqrt_out", "interpret"),
+)
+def flat_topk_pipeline(
+    qpad: jax.Array,       # [Qp, d] f32, Qp % TQ == 0
+    corpus_t: jax.Array,   # [d, N] f32/bf16 transposed corpus
+    mask_vec: jax.Array,   # [N] f32 additive mask (see fused_dist_select)
+    threshold: jax.Array,  # scalar f32 on the SQUARED distance for L2
+    k: int,
+    cosine: bool = False,
+    group: int = GROUP,
+    sqrt_out: bool = False,
+    interpret: bool = False,
+):
+    """Exact masked k-NN, one dispatch for the whole padded query batch.
+
+    Returns (scores [Qp, k], slots [Qp, k]); empty slots carry
+    (+inf, IDX_SENTINEL). Requires k <= group * n_groups.
+    """
+    Qp, d = qpad.shape
+    G = corpus_t.shape[1] // group
+    kb = min(max(1 << max(k - 1, 1).bit_length(), 8), G)  # pow2, >= k
+    body = partial(
+        _chunk_topk, corpus_t=corpus_t, mask_vec=mask_vec, thr=threshold,
+        k=k, kb=kb, group=group, cosine=cosine, sqrt_out=sqrt_out,
+        interpret=interpret,
     )
-    kk = min(k, kb * GROUP)
-    s_out = ss[:, :kk]
-    i_out = jnp.where(s_out == INF, IDX_SENTINEL, ii[:, :kk])
-    if kk < k:
-        s_out = jnp.pad(s_out, ((0, 0), (0, k - kk)), constant_values=INF)
-        i_out = jnp.pad(i_out, ((0, 0), (0, k - kk)), constant_values=IDX_SENTINEL)
-    return s_out, i_out
+    if Qp == TQ:
+        return body(qpad)
+    chunks = qpad.reshape(Qp // TQ, TQ, d)
+    fv, fi = lax.map(body, chunks)
+    return fv.reshape(Qp, -1), fi.reshape(Qp, -1)

@@ -1,22 +1,26 @@
-"""Pallas fused scan kernel: interpreter-mode numerics vs the oracle."""
+"""Pallas fused scan + pipeline: interpreter-mode numerics vs the oracle."""
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from comet_tpu.ops.pallas_scan import (
-    GROUP,
     TN,
     TQ,
-    finish_block_select,
-    fused_dist_groupmin,
+    IDX_SENTINEL,
+    flat_topk_pipeline,
+    fused_dist_select,
 )
 
 from oracle import distances_np, topk_np
 
 
+def _xt(x):
+    return jnp.asarray(np.ascontiguousarray(x.T))
+
+
 def test_fused_kernel_matches_oracle(rng):
-    Q, N, d, k = TQ, 2 * TN, 16, 10
+    Q, N, d, kb, group = TQ, 2 * TN, 16, 16, 32
     q = rng.normal(size=(Q, d)).astype(np.float32)
     x = rng.normal(size=(N, d)).astype(np.float32)
     sqn = (x * x).sum(axis=1).astype(np.float32)
@@ -24,9 +28,9 @@ def test_fused_kernel_matches_oracle(rng):
     valid[::7] = False
     xn_masked = np.where(valid, sqn, np.inf).astype(np.float32)
 
-    dist, gmin_t = fused_dist_groupmin(
-        jnp.asarray(q), jnp.asarray(x), jnp.asarray(xn_masked),
-        jnp.asarray(np.float32(np.inf)), interpret=True,
+    dist, gsel = fused_dist_select(
+        jnp.asarray(q), _xt(x), jnp.asarray(xn_masked),
+        jnp.asarray(np.float32(np.inf)), kb, group=group, interpret=True,
     )
     want = distances_np(q, x, "l2_squared")
     want = np.where(valid[None, :], want, np.inf)
@@ -34,15 +38,13 @@ def test_fused_kernel_matches_oracle(rng):
     fin = np.isfinite(want)
     np.testing.assert_allclose(got[fin], want[fin], rtol=1e-4, atol=1e-4)
     assert np.all(np.isinf(got[~fin]))
-    # group minima
-    want_gmin = want.reshape(Q, N // GROUP, GROUP).min(axis=2)
-    np.testing.assert_allclose(np.asarray(gmin_t).T, want_gmin, rtol=1e-4, atol=1e-4)
-
-    # end-to-end selection matches the stable oracle
-    s, i = finish_block_select(dist, gmin_t, k)
-    ws, wi = topk_np(want, k)
-    np.testing.assert_array_equal(np.asarray(i), wi)
-    np.testing.assert_allclose(np.asarray(s), ws, rtol=1e-4, atol=1e-4)
+    # group selection: exact top-kb groups by (min, group id) per query
+    gmin = want.reshape(Q, N // group, group).min(axis=2)  # [Q, G]
+    order = np.lexsort(
+        (np.broadcast_to(np.arange(gmin.shape[1]), gmin.shape), gmin), axis=1
+    )[:, :kb]
+    got_sel = np.sort(np.asarray(gsel)[0].T, axis=1)
+    np.testing.assert_array_equal(got_sel, np.sort(order, axis=1))
 
 
 def test_fused_kernel_threshold(rng):
@@ -51,10 +53,72 @@ def test_fused_kernel_threshold(rng):
     x = rng.normal(size=(N, d)).astype(np.float32)
     sqn = (x * x).sum(axis=1).astype(np.float32)
     thr = np.float32(np.median(sqn))
-    dist, _ = fused_dist_groupmin(
-        jnp.asarray(q), jnp.asarray(x), jnp.asarray(sqn),
-        jnp.asarray(thr), interpret=True,
+    dist, _ = fused_dist_select(
+        jnp.asarray(q), _xt(x), jnp.asarray(sqn),
+        jnp.asarray(thr), 8, interpret=True,
     )
     got = np.asarray(dist)[0]
     assert np.all(np.isinf(got[sqn > thr]))
     assert np.all(np.isfinite(got[sqn <= thr]))
+
+
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_pipeline_matches_oracle(rng, k):
+    Q, N, d = TQ, 2 * TN, 16
+    q = rng.normal(size=(Q, d)).astype(np.float32)
+    x = rng.normal(size=(N, d)).astype(np.float32)
+    sqn = (x * x).sum(axis=1).astype(np.float32)
+    valid = np.ones(N, dtype=bool)
+    valid[::5] = False
+    xn_masked = np.where(valid, sqn, np.inf).astype(np.float32)
+
+    s, i = flat_topk_pipeline(
+        jnp.asarray(q), _xt(x),
+        jnp.asarray(xn_masked), jnp.asarray(np.float32(np.inf)),
+        k, interpret=True,
+    )
+    want = distances_np(q, x, "l2_squared")
+    want = np.where(valid[None, :], want, np.inf)
+    ws, wi = topk_np(want, k)
+    np.testing.assert_array_equal(np.asarray(i), wi)
+    fin = np.isfinite(ws)
+    np.testing.assert_allclose(np.asarray(s)[fin], ws[fin], rtol=1e-4, atol=1e-4)
+
+
+def test_pipeline_cosine_and_multichunk(rng):
+    # two query chunks exercise the lax.map path; cosine exercises the
+    # 1 - q.x distance mode with the 0/+inf additive mask
+    Q, N, d, k = 2 * TQ, TN, 16, 7
+    q = rng.normal(size=(Q, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    x = rng.normal(size=(N, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    valid = np.ones(N, dtype=bool)
+    valid[1::3] = False
+    mask_vec = np.where(valid, 0.0, np.inf).astype(np.float32)
+
+    s, i = flat_topk_pipeline(
+        jnp.asarray(q), _xt(x),
+        jnp.asarray(mask_vec), jnp.asarray(np.float32(np.inf)),
+        k, cosine=True, interpret=True,
+    )
+    want = distances_np(q, x, "cosine")
+    want = np.where(valid[None, :], want, np.inf)
+    ws, wi = topk_np(want, k)
+    np.testing.assert_array_equal(np.asarray(i), wi)
+    fin = np.isfinite(ws)
+    np.testing.assert_allclose(np.asarray(s)[fin], ws[fin], rtol=1e-4, atol=1e-4)
+
+
+def test_pipeline_threshold_empties(rng):
+    Q, N, d, k = TQ, TN, 8, 5
+    q = rng.normal(size=(Q, d)).astype(np.float32) * 100.0
+    x = rng.normal(size=(N, d)).astype(np.float32)
+    sqn = (x * x).sum(axis=1).astype(np.float32)
+    s, i = flat_topk_pipeline(
+        jnp.asarray(q), _xt(x),
+        jnp.asarray(sqn), jnp.asarray(np.float32(1e-12)),
+        k, interpret=True,
+    )
+    assert np.all(np.isinf(np.asarray(s)))
+    assert np.all(np.asarray(i) == int(IDX_SENTINEL))
