@@ -438,6 +438,41 @@ class BaseVectorIndex:
 INVALID_ID = np.uint32(0xFFFFFFFF)
 
 
+def collect_device_handle(handle):
+    """Materialize a _search_launch handle into (ids, scores) numpy arrays.
+
+    Handle forms (shared by the dense Pallas indexes):
+      ("empty", q)                         — no rows in the index
+      ("dev", s, i, q_real, k_eff, ids)    — one in-flight device pair
+      ("dev_chunks", chunks, q_real, k_eff, ids) — per-chunk device pairs
+    """
+    import jax
+
+    from comet_tpu.ops.topk import IDX_SENTINEL
+
+    kind = handle[0]
+    if kind == "empty":
+        q = handle[1]
+        return (
+            np.full((q, 0), INVALID_ID, dtype=np.uint32),
+            np.zeros((q, 0), dtype=np.float32),
+        )
+    if kind == "dev":
+        _, s, i, q_real, k_eff, ids_snap = handle
+        scores, slots_np = jax.device_get((s, i))
+        scores = scores[:q_real, :k_eff]
+        slots_np = slots_np[:q_real, :k_eff]
+    else:
+        _, chunks, q_real, k_eff, ids_snap = handle
+        chunks = jax.device_get(chunks)
+        scores = np.concatenate([s for s, _ in chunks])[:q_real, :k_eff]
+        slots_np = np.concatenate([i for _, i in chunks])[:q_real, :k_eff]
+
+    hit = slots_np != int(IDX_SENTINEL)
+    ids = np.where(hit, ids_snap[np.where(hit, slots_np, 0)], INVALID_ID)
+    return ids.astype(np.uint32), scores
+
+
 def pad_queries(qarr: np.ndarray) -> tuple[np.ndarray, int]:
     """Pad the query batch to a power-of-two row count (compile bucketing)."""
     q = qarr.shape[0]

@@ -248,29 +248,9 @@ class FlatIndex(BaseVectorIndex):
         return ("dev_chunks", chunks, q_real, k_eff, store.ids)
 
     def _search_collect(self, handle):
-        import jax
+        from comet_tpu.indexes.base import collect_device_handle
 
-        kind = handle[0]
-        if kind == "empty":
-            q = handle[1]
-            return (
-                np.full((q, 0), INVALID_ID, dtype=np.uint32),
-                np.zeros((q, 0), dtype=np.float32),
-            )
-        if kind == "dev":
-            _, s, i, q_real, k_eff, ids_snap = handle
-            scores, slots_np = jax.device_get((s, i))
-            scores = scores[:q_real, :k_eff]
-            slots_np = slots_np[:q_real, :k_eff]
-        else:
-            _, chunks, q_real, k_eff, ids_snap = handle
-            chunks = jax.device_get(chunks)
-            scores = np.concatenate([s for s, _ in chunks])[:q_real, :k_eff]
-            slots_np = np.concatenate([i for _, i in chunks])[:q_real, :k_eff]
-
-        hit = slots_np != int(IDX_SENTINEL)
-        ids = np.where(hit, ids_snap[np.where(hit, slots_np, 0)], INVALID_ID)
-        return ids.astype(np.uint32), scores
+        return collect_device_handle(handle)
 
     # -- serialization ----------------------------------------------------------
 

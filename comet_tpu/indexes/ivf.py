@@ -211,6 +211,10 @@ class IVFIndex(BaseVectorIndex):
         self._dev_chunk_start = None
         self._max_chunks = 1
         self._dev_centroids = None
+        # dense masked-scan cache (TPU fast path)
+        self._dense_version = -1
+        self._dev_t = None
+        self._dev_assign = None
 
     # -- contracts -----------------------------------------------------------
 
@@ -337,16 +341,30 @@ class IVFIndex(BaseVectorIndex):
         return nprobes
 
     def _search_batch(self, queries: np.ndarray, builder: VectorSearchBuilder):
+        return self._search_collect(self._search_launch(queries, builder))
+
+    def _device_dense(self):
+        """Transposed corpus + device assign vector for the dense masked
+        scan, rebuilt when contents change (invalid slots carry -1, which
+        never matches a probed cluster id)."""
+        if self._dense_version != self._store.version:
+            import jax
+
+            vecs, _, _ = self._store.device_state()
+            self._dev_t = jax.jit(lambda v: v.T)(vecs)
+            self._dev_assign = jnp.asarray(
+                self._assign[: self._store.capacity]
+            )
+            self._dense_version = self._store.version
+        return self._dev_t, self._dev_assign
+
+    def _search_launch(self, queries: np.ndarray, builder: VectorSearchBuilder):
         if not self._trained:
             raise NotTrainedError("index must be trained before searching")
         store = self._store
         n_slots = store.n
-        q_in = queries.shape[0]
         if n_slots == 0:
-            return (
-                np.full((q_in, 0), INVALID_ID, dtype=np.uint32),
-                np.zeros((q_in, 0), dtype=np.float32),
-            )
+            return ("empty", queries.shape[0])
 
         k_eff = sanitize_k(builder._k, n_slots)
         k_pad = min(next_pow2(k_eff), store.capacity)
@@ -356,14 +374,53 @@ class IVFIndex(BaseVectorIndex):
         qpad, q_real = pad_queries(qprep)
 
         vecs, sqnorms, valid = store.device_state()
-        centroids, chunk_slots, chunk_start, max_chunks = self._device_buckets()
         doc_filter = DocumentFilter(builder._document_ids)
         fmask = doc_filter.slot_mask(store.ids)
         if fmask is not None:
             valid = jnp.logical_and(valid, jnp.asarray(fmask))
         thr = threshold_scalar(builder._threshold)
-        max_steps = next_pow2(nprobe * max_chunks, 4)
 
+        from comet_tpu.ops.pallas_scan import (
+            GROUP as P_GROUP,
+            TN as P_TN,
+            TQ as P_TQ,
+            ivf_topk_pipeline,
+            pallas_available,
+        )
+
+        use_dense = (
+            pallas_available()
+            and store.capacity % P_TN == 0
+            and store.capacity <= (1 << 21)
+            and max(k_pad, 8) <= store.capacity // P_GROUP
+        )
+        if use_dense:
+            cosine = self._distance_kind == DistanceKind.COSINE
+            thr_k = thr * thr if self._distance_kind == DistanceKind.L2 else thr
+            mask_vec = jnp.where(valid, 0.0 if cosine else sqnorms, jnp.inf)
+            if qpad.shape[0] % P_TQ != 0:
+                grown = np.zeros(
+                    (-(-qpad.shape[0] // P_TQ) * P_TQ, qpad.shape[1]), np.float32
+                )
+                grown[: qpad.shape[0]] = qpad
+                qpad = grown
+            corpus_t, assign_dev = self._device_dense()
+            s, i = ivf_topk_pipeline(
+                jnp.asarray(qpad), corpus_t, mask_vec, thr_k,
+                jnp.asarray(self._centroids), assign_dev,
+                k_pad, nprobe,
+                coarse_cosine=cosine, cosine=cosine,
+                sqrt_out=self._distance_kind == DistanceKind.L2,
+            )
+            try:
+                s.copy_to_host_async()
+                i.copy_to_host_async()
+            except AttributeError:  # pragma: no cover
+                pass
+            return ("dev", s, i, q_real, k_eff, store.ids)
+
+        centroids, chunk_slots, chunk_start, max_chunks = self._device_buckets()
+        max_steps = next_pow2(nprobe * max_chunks, 4)
         chunks = []
         for q0 in range(0, qpad.shape[0], IVF_QUERY_CHUNK):
             qc = jnp.asarray(qpad[q0 : q0 + IVF_QUERY_CHUNK])
@@ -373,15 +430,12 @@ class IVFIndex(BaseVectorIndex):
                     valid, thr, k_pad, self._distance_kind, nprobe, max_steps,
                 )
             )
-        import jax
+        return ("dev_chunks", chunks, q_real, k_eff, store.ids)
 
-        chunks = jax.device_get(chunks)
-        scores = np.concatenate([s for s, _ in chunks])[:q_real, :k_eff]
-        slots_np = np.concatenate([i for _, i in chunks])[:q_real, :k_eff]
+    def _search_collect(self, handle):
+        from comet_tpu.indexes.base import collect_device_handle
 
-        hit = slots_np != int(IDX_SENTINEL)
-        ids = np.where(hit, store.ids[np.where(hit, slots_np, 0)], INVALID_ID)
-        return ids.astype(np.uint32), scores
+        return collect_device_handle(handle)
 
     # -- serialization ----------------------------------------------------------
 

@@ -193,7 +193,13 @@ class IVFPQIndex(BaseVectorIndex):
         self._codebooks: np.ndarray | None = None
         self._trained = False
         self._dev_version = -1
+        self._dense_version = -1
         self._dev = None
+        # dense reconstructed-corpus cache (TPU fast path)
+        self._dense_version = -1
+        self._dev_rec_t = None
+        self._dev_rec_sqn = None
+        self._dev_assign = None
 
     # -- contracts -----------------------------------------------------------
 
@@ -243,6 +249,7 @@ class IVFPQIndex(BaseVectorIndex):
             self._codebooks = codebooks
             self._trained = True
             self._dev_version = -1
+            self._dense_version = -1
 
     # -- mutation --------------------------------------------------------------
 
@@ -364,17 +371,56 @@ class IVFPQIndex(BaseVectorIndex):
             nprobes = self._nlist
         return nprobes
 
+    def _device_dense(self):
+        """Reconstructed corpus, TRANSPOSED [d, cap], for the dense scan.
+
+        ADC distance is EXACTLY the L2 distance to the reconstruction:
+          sum_m ||r_q[m] - codebook[m, code_m]||^2
+            = ||r_q - decoded_residual||^2
+            = ||q - (centroid + decoded_residual)||^2,
+        so searching the reconstructed vectors on the MXU returns the same
+        scores as per-cluster LUT ADC (ivfpq_index_search.go:285-390) —
+        without the gather-bound LUT walk. The PQ codes remain the
+        authoritative (serialized) representation; this is a search-time
+        device cache (cap x d x 4 B — memory traded for ~30x QPS).
+        """
+        if self._dense_version != self._store.version:
+            import jax
+
+            from comet_tpu.ops.adc import pq_decode
+
+            n = self._store.n
+            cap = self._store.capacity
+
+            @jax.jit
+            def build(codes, assign, centroids, codebooks):
+                resid = pq_decode(codes, codebooks)            # [cap, d]
+                cent = centroids[jnp.maximum(assign, 0)]       # [cap, d]
+                rec = resid + cent
+                return rec.T, jnp.sum(rec * rec, axis=1)
+
+            codes = jnp.asarray(self._codes[:cap])
+            assign = jnp.asarray(self._assign[:cap])
+            rec_t, sqnorms = build(
+                codes, assign,
+                jnp.asarray(self._centroids), jnp.asarray(self._codebooks),
+            )
+            self._dev_rec_t = rec_t
+            self._dev_rec_sqn = sqnorms
+            self._dev_assign = assign
+            self._dense_version = self._store.version
+        return self._dev_rec_t, self._dev_rec_sqn, self._dev_assign
+
     def _search_batch(self, queries: np.ndarray, builder: VectorSearchBuilder):
+        return self._search_collect(self._search_launch(queries, builder))
+
+    def _search_launch(self, queries: np.ndarray, builder: VectorSearchBuilder):
         if not self._trained:
             raise NotTrainedError("index must be trained before searching")
         store = self._store
         n_slots = store.n
-        q_in = queries.shape[0]
         if n_slots == 0:
-            return (
-                np.full((q_in, 0), INVALID_ID, dtype=np.uint32),
-                np.zeros((q_in, 0), dtype=np.float32),
-            )
+            return ("empty", queries.shape[0])
 
         k_eff = sanitize_k(builder._k, n_slots)
         nrefine = 0
@@ -382,20 +428,63 @@ class IVFPQIndex(BaseVectorIndex):
             nrefine = max(int(builder._nrefine), k_eff)
         k_pad = min(next_pow2(max(k_eff, nrefine)), store.capacity)
         nprobe = self._sanitize_nprobes(builder._nprobes)
+        take = max(k_eff, nrefine)
 
         qprep = preprocess(queries, self._distance_kind)
         qpad, q_real = pad_queries(qprep)
 
-        (
-            centroids, codebooks, chunk_slots, chunk_start, max_chunks, codes, valid,
-        ) = self._device_state_ivfpq()
         doc_filter = DocumentFilter(builder._document_ids)
         fmask = doc_filter.slot_mask(store.ids)
+        valid = jnp.asarray(store.valid)
         if fmask is not None:
             valid = jnp.logical_and(valid, jnp.asarray(fmask))
         thr = threshold_scalar(builder._threshold)
-        max_steps = next_pow2(nprobe * max_chunks, 4)
 
+        from comet_tpu.ops.pallas_scan import (
+            GROUP as P_GROUP,
+            TN as P_TN,
+            TQ as P_TQ,
+            ivf_topk_pipeline,
+            pallas_available,
+        )
+
+        use_dense = (
+            pallas_available()
+            and store.capacity % P_TN == 0
+            and store.capacity <= (1 << 21)
+            and max(k_pad, 8) <= store.capacity // P_GROUP
+        )
+        if use_dense:
+            rec_t, rec_sqn, assign_dev = self._device_dense()
+            # ADC is sqrt-L2 on reconstructions for every metric; the
+            # kernel works in the squared domain, so square the threshold
+            mask_vec = jnp.where(valid, rec_sqn, jnp.inf)
+            if qpad.shape[0] % P_TQ != 0:
+                grown = np.zeros(
+                    (-(-qpad.shape[0] // P_TQ) * P_TQ, qpad.shape[1]), np.float32
+                )
+                grown[: qpad.shape[0]] = qpad
+                qpad = grown
+            s, i = ivf_topk_pipeline(
+                jnp.asarray(qpad), rec_t, mask_vec, thr * thr,
+                jnp.asarray(self._centroids), assign_dev,
+                k_pad, nprobe,
+                coarse_cosine=self._distance_kind == DistanceKind.COSINE,
+                cosine=False,
+                sqrt_out=True,
+            )
+            try:
+                s.copy_to_host_async()
+                i.copy_to_host_async()
+            except AttributeError:  # pragma: no cover
+                pass
+            return ("ivfpq_dev", s, i, q_real, k_eff, take, nrefine,
+                    qprep, store.ids)
+
+        (
+            centroids, codebooks, chunk_slots, chunk_start, max_chunks, codes, _v,
+        ) = self._device_state_ivfpq()
+        max_steps = next_pow2(nprobe * max_chunks, 4)
         chunks = []
         for q0 in range(0, qpad.shape[0], IVFPQ_QUERY_CHUNK):
             qc = jnp.asarray(qpad[q0 : q0 + IVFPQ_QUERY_CHUNK])
@@ -405,18 +494,37 @@ class IVFPQIndex(BaseVectorIndex):
                     valid, thr, k_pad, self._distance_kind, nprobe, max_steps,
                 )
             )
-        take = max(k_eff, nrefine)
+        return ("ivfpq_chunks", chunks, q_real, k_eff, take, nrefine,
+                qprep, store.ids)
+
+    def _search_collect(self, handle):
         import jax
 
-        chunks = jax.device_get(chunks)
-        scores = np.concatenate([s for s, _ in chunks])[:q_real, :take]
-        slots_np = np.concatenate([i for _, i in chunks])[:q_real, :take]
+        kind = handle[0]
+        if kind == "empty":
+            q = handle[1]
+            return (
+                np.full((q, 0), INVALID_ID, dtype=np.uint32),
+                np.zeros((q, 0), dtype=np.float32),
+            )
+        if kind == "ivfpq_dev":
+            _, s, i, q_real, k_eff, take, nrefine, qprep, ids_snap = handle
+            scores, slots_np = jax.device_get((s, i))
+        else:
+            _, chunks, q_real, k_eff, take, nrefine, qprep, ids_snap = handle
+            chunks = jax.device_get(chunks)
+            scores = np.concatenate([s for s, _ in chunks])
+            slots_np = np.concatenate([i for _, i in chunks])
+        scores = scores[:q_real, :take]
+        slots_np = slots_np[:q_real, :take]
 
         if nrefine:
             scores, slots_np = self._refine(qprep, scores, slots_np, k_eff)
+        else:
+            scores, slots_np = scores[:, :k_eff], slots_np[:, :k_eff]
 
         hit = slots_np != int(IDX_SENTINEL)
-        ids = np.where(hit, store.ids[np.where(hit, slots_np, 0)], INVALID_ID)
+        ids = np.where(hit, ids_snap[np.where(hit, slots_np, 0)], INVALID_ID)
         return ids.astype(np.uint32), scores
 
     def _refine(self, queries, scores, slots, k_eff):
@@ -512,3 +620,4 @@ class IVFPQIndex(BaseVectorIndex):
                 self._codes[slots] = codes.astype(np.int32)
                 self._assign[slots] = assign.astype(np.int32)
             self._dev_version = -1
+            self._dense_version = -1

@@ -96,6 +96,9 @@ class PQIndex(BaseVectorIndex):
         self._codebooks: np.ndarray | None = None  # [M, Ksub, dsub]
         self._trained = False
         self._dev_version = -1
+        self._decoded_version = -1
+        self._dev_rec_t = None
+        self._dev_rec_sqn = None
         self._dev_codes = None
         self._dev_codebooks = None
 
@@ -140,6 +143,7 @@ class PQIndex(BaseVectorIndex):
             # reference has the same limitation; retraining with content is
             # only valid on an empty index.
             self._dev_version = -1
+            self._decoded_version = -1
 
     # -- mutation --------------------------------------------------------------
 
@@ -218,17 +222,46 @@ class PQIndex(BaseVectorIndex):
             self._dev_version = self._store.version
         return self._dev_codes, self._dev_codebooks
 
+    def _device_decoded(self):
+        """Decoded corpus, TRANSPOSED [d, cap], for the dense MXU scan.
+
+        ADC distance equals the L2 distance to the decoded vector exactly
+        (sum over subspaces of ||q_m - codebook[m, code_m]||^2 IS
+        ||q - decode(code)||^2), so a flat scan of the reconstructions
+        returns ADC scores without the one-hot LUT contraction — at ~1/32
+        of the MXU work for m=16, Ksub=256. Codes stay authoritative; this
+        is a per-version search-time device cache.
+        """
+        if self._decoded_version != self._store.version:
+            import jax
+
+            from comet_tpu.ops.adc import pq_decode
+
+            cap = self._store.capacity
+
+            @jax.jit
+            def build(codes, codebooks):
+                rec = pq_decode(codes, codebooks)  # [cap, d]
+                return rec.T, jnp.sum(rec * rec, axis=1)
+
+            rec_t, sqn = build(
+                jnp.asarray(self._codes[:cap]), jnp.asarray(self._codebooks)
+            )
+            self._dev_rec_t = rec_t
+            self._dev_rec_sqn = sqn
+            self._decoded_version = self._store.version
+        return self._dev_rec_t, self._dev_rec_sqn
+
     def _search_batch(self, queries: np.ndarray, builder: VectorSearchBuilder):
+        return self._search_collect(self._search_launch(queries, builder))
+
+    def _search_launch(self, queries: np.ndarray, builder: VectorSearchBuilder):
         if not self._trained:
             raise NotTrainedError("index must be trained before searching")
         store = self._store
         n_slots = store.n
-        q_in = queries.shape[0]
         if n_slots == 0:
-            return (
-                np.full((q_in, 0), INVALID_ID, dtype=np.uint32),
-                np.zeros((q_in, 0), dtype=np.float32),
-            )
+            return ("empty", queries.shape[0])
 
         k_eff = sanitize_k(builder._k, n_slots)
         k_pad = min(next_pow2(k_eff), store.capacity)
@@ -236,7 +269,6 @@ class PQIndex(BaseVectorIndex):
         qprep = preprocess(queries, self._distance_kind)
         qpad, q_real = pad_queries(qprep)
 
-        codes_dev, codebooks_dev = self._device_codes()
         _, _, valid = store.device_state()
         doc_filter = DocumentFilter(builder._document_ids)
         fmask = doc_filter.slot_mask(store.ids)
@@ -244,6 +276,42 @@ class PQIndex(BaseVectorIndex):
             valid = jnp.logical_and(valid, jnp.asarray(fmask))
         thr = threshold_scalar(builder._threshold)
 
+        from comet_tpu.ops.pallas_scan import (
+            GROUP as P_GROUP,
+            TN as P_TN,
+            TQ as P_TQ,
+            flat_topk_pipeline,
+            pallas_available,
+        )
+
+        use_dense = (
+            pallas_available()
+            and store.capacity % P_TN == 0
+            and store.capacity <= (1 << 21)
+            and max(k_pad, 8) <= store.capacity // P_GROUP
+        )
+        if use_dense:
+            rec_t, rec_sqn = self._device_decoded()
+            # ADC takes sqrt for every metric (pq_index_search.go:292-296)
+            mask_vec = jnp.where(valid, rec_sqn, jnp.inf)
+            if qpad.shape[0] % P_TQ != 0:
+                grown = np.zeros(
+                    (-(-qpad.shape[0] // P_TQ) * P_TQ, qpad.shape[1]), np.float32
+                )
+                grown[: qpad.shape[0]] = qpad
+                qpad = grown
+            s, i = flat_topk_pipeline(
+                jnp.asarray(qpad), rec_t, mask_vec, thr * thr, k_pad,
+                cosine=False, sqrt_out=True,
+            )
+            try:
+                s.copy_to_host_async()
+                i.copy_to_host_async()
+            except AttributeError:  # pragma: no cover
+                pass
+            return ("dev", s, i, q_real, k_eff, store.ids)
+
+        codes_dev, codebooks_dev = self._device_codes()
         chunks = []
         for q0 in range(0, qpad.shape[0], PQ_QUERY_CHUNK):
             qc = qpad[q0 : q0 + PQ_QUERY_CHUNK]
@@ -252,15 +320,12 @@ class PQIndex(BaseVectorIndex):
                 codebooks_dev,
             )
             chunks.append(adc_topk(lut, codes_dev, valid, thr, k_pad))
-        import jax
+        return ("dev_chunks", chunks, q_real, k_eff, store.ids)
 
-        chunks = jax.device_get(chunks)
-        scores = np.concatenate([s for s, _ in chunks])[:q_real, :k_eff]
-        slots_np = np.concatenate([i for _, i in chunks])[:q_real, :k_eff]
+    def _search_collect(self, handle):
+        from comet_tpu.indexes.base import collect_device_handle
 
-        hit = slots_np != int(IDX_SENTINEL)
-        ids = np.where(hit, store.ids[np.where(hit, slots_np, 0)], INVALID_ID)
-        return ids.astype(np.uint32), scores
+        return collect_device_handle(handle)
 
     # -- serialization ----------------------------------------------------------
 
@@ -315,3 +380,4 @@ class PQIndex(BaseVectorIndex):
                 )
                 self._codes[slots] = codes.astype(np.int32)
             self._dev_version = -1
+            self._decoded_version = -1

@@ -57,15 +57,16 @@ def pq_encode(vectors: jax.Array, codebooks: jax.Array) -> jax.Array:
 
 @jax.jit
 def pq_decode(codes: jax.Array, codebooks: jax.Array) -> jax.Array:
-    """Reconstruct approximate vectors: [B, M] codes -> [B, M*dsub]."""
-    # codebooks[m, codes[b, m], :] gathered per subspace
-    gathered = jnp.take_along_axis(
-        codebooks[None, :, :, :],
-        codes[:, :, None, None],
-        axis=2,
-    )  # [B, M, 1, dsub]
-    b, m = codes.shape
-    return gathered.reshape(b, m * codebooks.shape[2])
+    """Reconstruct approximate vectors: [B, M] codes -> [B, M*dsub].
+
+    Implemented as ONE row-gather from the flattened [M*Ksub, dsub]
+    codebook (take_along_axis on a broadcast [B, M, Ksub, dsub] view makes
+    XLA materialize the broadcast — an HBM OOM at 1M x 16 x 256)."""
+    m, ksub, dsub = codebooks.shape
+    flat = codebooks.reshape(m * ksub, dsub)
+    idx = codes + jnp.arange(m, dtype=codes.dtype)[None, :] * ksub
+    out = jnp.take(flat, idx.reshape(-1), axis=0)  # [B*M, dsub]
+    return out.reshape(codes.shape[0], m * dsub)
 
 
 @jax.jit
