@@ -32,6 +32,8 @@ BATCH = 2048
 ROUNDS = 4
 BASELINE_FLAT_QPS = 22.0
 IDS = None  # set in main(): consistent 1..N ids across all indexes
+GT = None   # ground-truth neighbor ids [BATCH, >=100] when a real dataset
+            # provides them (SIFT1M .ivecs); else flat-oracle truth
 
 
 def log(msg):
@@ -55,6 +57,30 @@ def gen_data(n=N, dim=DIM, seed=0):
         return (centers[which] + z @ proj).astype(np.float32)
 
     return sample(n), sample(BATCH)
+
+
+def load_data():
+    """Real dataset when COMET_DATASET_DIR points at a texmex-style dir
+    (SIFT1M: sift_base.fvecs / sift_query.fvecs / sift_groundtruth.ivecs);
+    synthetic clustered fallback otherwise. Returns (corpus, queries, gt)
+    where gt is [Q, >=100] int32 0-based row ids or None."""
+    global N, DIM
+    d = os.environ.get("COMET_DATASET_DIR")
+    if d:
+        from comet_tpu.io.datasets import load_sift_dir
+
+        base, queries, gt = load_sift_dir(d, max_queries=BATCH)
+        N, DIM = base.shape
+        log(f"dataset: {d} ({N} x {DIM}, {len(queries)} queries, "
+            f"gt={'yes' if gt is not None else 'no'})")
+        if len(queries) < BATCH:  # tile queries up to the batch size
+            reps = -(-BATCH // len(queries))
+            queries = np.tile(queries, (reps, 1))[:BATCH]
+            if gt is not None:
+                gt = np.tile(gt, (reps, 1))[:BATCH]
+        return base, queries.astype(np.float32), gt
+    corpus, queries = gen_data()
+    return corpus, queries, None
 
 
 def time_search(idx, queries, k, rounds=ROUNDS, **kw):
@@ -97,7 +123,7 @@ def bench_flat(corpus, queries, storage="float32"):
     return qps, ids
 
 
-def bench_all(corpus, queries, truth_ids):
+def bench_all(corpus, queries, truth_ids, truth100=None):
     from comet_tpu.indexes.bm25 import BM25SearchIndex
     from comet_tpu.indexes.hnsw import HNSWConfig, HNSWIndex
     from comet_tpu.indexes.ivf import IVFIndex
@@ -110,11 +136,26 @@ def bench_all(corpus, queries, truth_ids):
     truth10 = truth_ids[:, :10]
     results = {}
 
+    def rec100(found):
+        """recall@100 against ground truth when available (the reference's
+        published operating points are all recall@100 on SIFT1M)."""
+        if truth100 is None:
+            return None
+        return recall(found[:, :100], truth100)
+
+    def report(name, qps, found):
+        r10 = recall(found[:, :10], truth10)
+        r100 = rec100(found)
+        extra = f", recall@100={r100:.3f}" if r100 is not None else ""
+        log(f"{name}: {qps:.1f} QPS, recall@10={r10:.3f}{extra}")
+        results[name] = (qps, r10, r100)
+
     # bf16 flat
     qps, ids = bench_flat(corpus, queries, storage="bfloat16")
-    results["flat_bf16"] = (qps, recall(ids[:, :10], truth10))
+    results["flat_bf16"] = (qps, recall(ids[:, :10], truth10), rec100(ids))
 
-    # IVF nlist=1024 (baseline: train 38.5s, add 82s, nprobe10 150ms/89.2%)
+    # IVF nlist=1024 (baseline: train 38.5s, add 82s; reference op points
+    # nprobe 5/10/20 -> 78.5/89.2/94.7% recall@100, docs/INDEX.md:2836-2849)
     idx = IVFIndex(DIM, 1024, DistanceKind.L2)
     t0 = time.perf_counter()
     idx.train(corpus[:100_000])
@@ -123,14 +164,12 @@ def bench_all(corpus, queries, truth_ids):
     idx.add_batch(corpus, ids=IDS)
     t_add = time.perf_counter() - t0
     log(f"ivf train(100k): {t_train:.2f}s  add(1M): {t_add:.2f}s")
-    for nprobe in (1, 8, 32):
-        qps, ids = time_search(idx, queries, 10, nprobes=nprobe)
-        rec = recall(ids[:, :10], truth10)
-        log(f"ivf nprobe={nprobe}: {qps:.1f} QPS, recall@10={rec:.3f}")
-        results[f"ivf_nprobe{nprobe}"] = (qps, rec)
+    for nprobe in (1, 5, 10, 20, 32):
+        qps, ids = time_search(idx, queries, K, nprobes=nprobe)
+        report(f"ivf_nprobe{nprobe}", qps, ids)
     del idx
 
-    # PQ m=16 nbits=8 (baseline: train 3.2s, add 24.5s, 122 QPS / 91.3%)
+    # PQ m=16 nbits=8 (baseline: train 3.2s, add 24.5s, 122 QPS / 91.3%@100)
     idx = PQIndex(DIM, DistanceKind.L2, m=16, nbits=8)
     t0 = time.perf_counter()
     idx.train(corpus[:100_000])
@@ -139,13 +178,11 @@ def bench_all(corpus, queries, truth_ids):
     idx.add_batch(corpus, ids=IDS)
     t_add = time.perf_counter() - t0
     log(f"pq train(100k): {t_train:.2f}s  add(1M): {t_add:.2f}s")
-    qps, ids = time_search(idx, queries, 10)
-    rec = recall(ids[:, :10], truth10)
-    log(f"pq m=16: {qps:.1f} QPS, recall@10={rec:.3f}")
-    results["pq_m16"] = (qps, rec)
+    qps, ids = time_search(idx, queries, K)
+    report("pq_m16", qps, ids)
     del idx
 
-    # IVFPQ nlist=1024 m=16 (baseline: 312 QPS / 89.7% at nprobe=10)
+    # IVFPQ nlist=1024 m=16 (baseline: 312 QPS / 89.7%@100 at nprobe=10)
     idx = IVFPQIndex(DIM, DistanceKind.L2, nlist=1024, m=16, nbits=8)
     t0 = time.perf_counter()
     idx.train(corpus[:100_000])
@@ -154,11 +191,9 @@ def bench_all(corpus, queries, truth_ids):
     idx.add_batch(corpus, ids=IDS)
     t_add = time.perf_counter() - t0
     log(f"ivfpq train(100k): {t_train:.2f}s  add(1M): {t_add:.2f}s")
-    for nprobe in (8, 32):
-        qps, ids = time_search(idx, queries, 10, nprobes=nprobe)
-        rec = recall(ids[:, :10], truth10)
-        log(f"ivfpq nprobe={nprobe}: {qps:.1f} QPS, recall@10={rec:.3f}")
-        results[f"ivfpq_nprobe{nprobe}"] = (qps, rec)
+    for nprobe in (8, 10, 32):
+        qps, ids = time_search(idx, queries, K, nprobes=nprobe)
+        report(f"ivfpq_nprobe{nprobe}", qps, ids)
     del idx
 
     # HNSW M=16 (baseline: build 5000s=200vec/s on 1M; ef50 2380QPS/93.4%@100).
@@ -173,12 +208,13 @@ def bench_all(corpus, queries, truth_ids):
     from comet_tpu.indexes.flat import FlatIndex as _F
     oracle = _F(DIM, DistanceKind.L2)
     oracle.add_batch(corpus[:n_hnsw], ids=IDS[:n_hnsw])
-    tr_ids, _ = oracle.search_batch(queries[:512], k=10)
-    for ef in (32, 64, 128):
-        qps, ids = time_search(idx, queries[:512], 10, ef_search=ef)
-        rec = recall(ids[:, :10], tr_ids)
-        log(f"hnsw ef={ef}: {qps:.1f} QPS, recall@10={rec:.3f}")
-        results[f"hnsw_ef{ef}"] = (qps, rec)
+    tr_ids, _ = oracle.search_batch(queries[:512], k=100)
+    for ef in (32, 64, 128, 200):
+        qps, ids = time_search(idx, queries[:512], 100, ef_search=ef)
+        r10 = recall(ids[:, :10], tr_ids[:, :10])
+        r100 = recall(ids[:, :100], tr_ids)
+        log(f"hnsw ef={ef}: {qps:.1f} QPS, recall@10={r10:.3f}, recall@100={r100:.3f}")
+        results[f"hnsw_ef{ef}"] = (qps, r10, r100)
     del idx, oracle
 
     # BM25 (baseline: 2000 docs/s index; 3-12 ms/query)
@@ -279,13 +315,23 @@ def bench_all(corpus, queries, truth_ids):
 def main():
     global IDS
     run_all = "--all" in sys.argv
-    corpus, queries = gen_data()
+    corpus, queries, gt = load_data()
     IDS = np.arange(1, N + 1, dtype=np.uint32)
     qps, ids = bench_flat(corpus, queries)
 
+    if gt is not None:
+        # sanity: flat exact scan must reproduce the dataset's ground truth
+        gt_ids = (gt[:, :100] + 1).astype(np.uint32)  # ivecs ids are 0-based
+        r = recall(ids[:, :100], gt_ids)
+        log(f"flat recall@100 vs dataset ground truth: {r:.4f}")
+
     if run_all:
         truth_ids = ids  # flat f32 results ARE the exact ground truth
-        bench_all(corpus, queries, truth_ids)
+        truth100 = (
+            (gt[:, :100] + 1).astype(np.uint32) if gt is not None
+            else ids[:, :100]
+        )
+        bench_all(corpus, queries, truth_ids, truth100)
 
     print(json.dumps({
         "metric": "flat_exact_scan_qps_sift1m_k100",
