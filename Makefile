@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: test test-fast bench bench-all check clean
+.PHONY: test test-fast bench bench-all check clean native
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -19,6 +19,9 @@ bench-all:
 check:
 	$(PY) -m compileall -q comet_tpu
 	$(PY) -m pytest tests/ -q
+
+native:
+	cc -O3 -march=native -shared -fPIC comet_tpu/native/bitset_kernels.c -o comet_tpu/native/_bitset_kernels.so || cc -O3 -shared -fPIC comet_tpu/native/bitset_kernels.c -o comet_tpu/native/_bitset_kernels.so
 
 clean:
 	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true

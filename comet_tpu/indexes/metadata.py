@@ -439,11 +439,8 @@ class RoaringMetadataIndex:
             for field_name in sorted(self._numeric):
                 bsi = self._numeric[field_name]
                 serial.write_str(f, field_name)
-                docs = np.fromiter(bsi.values.keys(), dtype=np.uint64)
-                vals = np.fromiter(
-                    ((v - (1 << 63)) for v in bsi.values.values()), dtype=np.int64
-                )
-                serial.write_array(f, docs)
+                docs, vals = bsi.doc_values()
+                serial.write_array(f, docs.astype(np.uint64))
                 serial.write_array(f, vals)
 
     def read_from(self, f: BinaryIO) -> None:

@@ -148,141 +148,143 @@ class Bitset:
 
 
 class BSI:
-    """Bit-sliced index over int64 values (the reference's BitSliceIndexing
-    equivalent, metadata_index.go:332-393).
+    """Numeric per-field index over int64 values (fills the role of the
+    reference's roaring BitSliceIndexing, metadata_index.go:332-393).
 
-    Values are stored BIASED (v + 2^63) so a single unsigned bitplane
-    comparison handles negatives. 64 planes of packed words + an existence
-    bitmap; every comparison is O(64) vectorized word operations.
+    The engine is a DENSE biased-uint64 value array + an existence bitmap,
+    not bit-sliced planes: doc IDs here are small dense auto-increments, so
+    a dense array turns every bulk add into one vectorized scatter (the
+    bit-sliced layout pays 64 plane updates per batch) and every comparison
+    into one vectorized compare + packbits (vs 64 word-ops with carry
+    logic). Values stay BIASED (v + 2^63) so unsigned compares handle
+    negatives, and the layout uploads directly to the TPU as two int32
+    half-planes when a device-resident filter is wanted.
+
+    Comparison results are memoized per (op, value) until the next write —
+    production filter traffic repeats predicates, and the reference's
+    roaring containers get the same effect from container reuse.
     """
 
-    __slots__ = ("planes", "ebm", "values", "_version", "_stack_version", "_stacked")
+    __slots__ = ("vals", "ebm", "_version", "_cache")
 
     def __init__(self):
-        self.planes = [Bitset() for _ in range(_WORD)]
+        self.vals = np.zeros(1024, dtype=np.uint64)
         self.ebm = Bitset()
-        # doc -> biased value, kept for remove/update bookkeeping
-        self.values: dict[int, int] = {}
         self._version = 0
-        self._stack_version = -1
-        self._stacked: np.ndarray | None = None  # [64, W] plane matrix cache
+        self._cache: dict = {}
+
+    # -- mutation ------------------------------------------------------------
+
+    def _ensure(self, max_id: int) -> None:
+        if max_id >= len(self.vals):
+            new_len = max(_ceil64(max_id + 1), len(self.vals) * 2)
+            grown = np.zeros(new_len, dtype=np.uint64)
+            grown[: len(self.vals)] = self.vals
+            self.vals = grown
+
+    def _dirty(self) -> None:
+        self._version += 1
+        if self._cache:
+            self._cache.clear()
 
     def set_value(self, doc_id: int, value: int) -> None:
-        biased = (int(value) + (1 << 63)) & ((1 << 64) - 1)
-        old = self.values.get(doc_id)
-        if old is not None and old != biased:
-            for b in range(_WORD):
-                if (old >> b) & 1:
-                    self.planes[b].discard(doc_id)
-        self.values[doc_id] = biased
+        self._ensure(doc_id)
+        self.vals[doc_id] = (int(value) + (1 << 63)) & ((1 << 64) - 1)
         self.ebm.add(doc_id)
-        for b in range(_WORD):
-            if (biased >> b) & 1:
-                self.planes[b].add(doc_id)
-        self._version += 1
+        self._dirty()
 
     def set_values(self, doc_ids: np.ndarray, values: np.ndarray) -> None:
-        """Bulk insert/update: vectorized per-plane passes.
-
-        Duplicate doc_ids within one batch keep the LAST occurrence (matching
-        the scalar set_value applied in order); in-batch duplicates and
-        updates of existing docs discard the old value's plane bits first so
-        no stale bits survive.
-        """
+        """Bulk insert/update — one scatter. Duplicate doc_ids within one
+        batch keep the LAST occurrence (numpy fancy assignment semantics,
+        matching sequential set_value calls)."""
         doc_ids = np.asarray(doc_ids, dtype=np.uint64)
-        biased = np.asarray(values, dtype=np.int64).astype(np.uint64) + _BIAS
         if doc_ids.size == 0:
             return
-        # dedup keeping the last occurrence of each doc_id
-        _, first_in_rev = np.unique(doc_ids[::-1], return_index=True)
-        if len(first_in_rev) != len(doc_ids):
-            keep = np.sort(len(doc_ids) - 1 - first_in_rev)
-            doc_ids = doc_ids[keep]
-            biased = biased[keep]
-        # old values (docs not present default to the new value -> no-op diff)
-        get = self.values.get
-        olds = np.fromiter(
-            (get(int(d), v) for d, v in zip(doc_ids.tolist(), biased.tolist())),
-            dtype=np.uint64,
-            count=len(doc_ids),
-        )
-        diff = olds != biased
-        self.values.update(zip(doc_ids.tolist(), biased.tolist()))
+        biased = np.asarray(values, dtype=np.int64).astype(np.uint64) + _BIAS
+        self._ensure(int(doc_ids.max()))
+        self.vals[doc_ids.astype(np.int64)] = biased
         self.ebm.add_many(doc_ids)
-        one = np.uint64(1)
-        for b in range(_WORD):
-            bit = np.uint64(b)
-            if diff.any():
-                clr = diff & (((olds >> bit) & one) == one)
-                if clr.any():
-                    self.planes[b].discard_many(doc_ids[clr])
-            sel = ((biased >> bit) & one) == one
-            if sel.any():
-                self.planes[b].add_many(doc_ids[sel])
-        self._version += 1
+        self._dirty()
 
     def clear_value(self, doc_id: int) -> None:
-        biased = self.values.pop(doc_id, None)
-        if biased is None:
+        if not self.ebm.contains(doc_id):
             return
         self.ebm.discard(doc_id)
-        for b in range(_WORD):
-            if (biased >> b) & 1:
-                self.planes[b].discard(doc_id)
-        self._version += 1
+        self._dirty()
 
-    # -- comparisons (bit-sliced) ------------------------------------------
+    # -- inspection ----------------------------------------------------------
 
-    def _stack(self) -> np.ndarray:
-        """Width-aligned [64, W] plane matrix, cached until the next write —
-        comparisons then run 64 word-ops over matrix rows without per-plane
-        reallocation."""
-        if self._stack_version != self._version or self._stacked is None:
-            n = max(len(p.words) for p in self.planes)
-            n = max(n, len(self.ebm.words))
-            stacked = np.zeros((_WORD, n), dtype=np.uint64)
-            for b in range(_WORD):
-                pw = self.planes[b].words
-                stacked[b, : len(pw)] = pw
-            self._stacked = stacked
-            self._stack_version = self._version
-        return self._stacked
+    @property
+    def values(self) -> dict[int, int]:
+        """doc -> biased value mapping (materialized view for callers that
+        iterate contents, e.g. serialization/merge)."""
+        ids = self.ebm.to_array()
+        return {
+            int(d): int(v)
+            for d, v in zip(ids.tolist(), self.vals[ids.astype(np.int64)].tolist())
+        }
 
-    def _split(self, value: int) -> tuple[Bitset, Bitset]:
-        """Returns (gt, eq) bitsets vs the biased comparison value."""
-        biased = (int(value) + (1 << 63)) & ((1 << 64) - 1)
-        stacked = self._stack()
-        n = stacked.shape[1]
-        eq = np.zeros(n, dtype=np.uint64)
-        eq[: len(self.ebm.words)] = self.ebm.words
-        gt = np.zeros(n, dtype=np.uint64)
-        for b in range(_WORD - 1, -1, -1):
-            plane = stacked[b]
-            if (biased >> b) & 1:
-                eq &= plane
+    def doc_values(self) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids uint32 asc, raw int64 values) for all present docs."""
+        ids = self.ebm.to_array()
+        vals = (self.vals[ids.astype(np.int64)] - _BIAS).astype(np.int64)
+        return ids, vals
+
+    # -- comparisons -----------------------------------------------------------
+
+    def _predicate(self, key, opcode, lo, hi, fn) -> Bitset:
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit.clone()
+        from comet_tpu import native
+
+        words = native.bsi_compare_pack(
+            self.vals, opcode, int(lo), int(hi), self.ebm.words
+        )
+        if words is None:  # numpy fallback: compare -> packbits -> AND
+            mask = fn(self.vals)  # bool [n], n % 64 == 0
+            words = np.packbits(mask, bitorder="little").view(np.uint64)
+            ew = self.ebm.words
+            if len(ew) < len(words):
+                words[len(ew):] = 0
+                words[: len(ew)] &= ew
             else:
-                gt |= eq & plane
-                eq &= ~plane
-        return Bitset(gt), Bitset(eq)
+                words &= ew[: len(words)]
+        out = Bitset(words)
+        if len(self._cache) >= 256:
+            self._cache.clear()
+        self._cache[key] = out
+        return out.clone()
 
     def compare_gt(self, value: int) -> Bitset:
-        gt, _ = self._split(value)
-        return gt
+        b = np.uint64((int(value) + (1 << 63)) & ((1 << 64) - 1))
+        return self._predicate(("gt", int(value)), 0, b, 0, lambda v: v > b)
 
     def compare_ge(self, value: int) -> Bitset:
-        gt, eq = self._split(value)
-        return gt.or_(eq)
+        b = np.uint64((int(value) + (1 << 63)) & ((1 << 64) - 1))
+        return self._predicate(("ge", int(value)), 1, b, 0, lambda v: v >= b)
 
     def compare_eq(self, value: int) -> Bitset:
-        _, eq = self._split(value)
-        return eq
+        b = np.uint64((int(value) + (1 << 63)) & ((1 << 64) - 1))
+        return self._predicate(("eq", int(value)), 2, b, 0, lambda v: v == b)
 
     def compare_lt(self, value: int) -> Bitset:
-        return self.ebm.andnot(self.compare_ge(value))
+        b = np.uint64((int(value) + (1 << 63)) & ((1 << 64) - 1))
+        return self._predicate(("lt", int(value)), 3, b, 0, lambda v: v < b)
 
     def compare_le(self, value: int) -> Bitset:
-        return self.ebm.andnot(self.compare_gt(value))
+        b = np.uint64((int(value) + (1 << 63)) & ((1 << 64) - 1))
+        return self._predicate(("le", int(value)), 4, b, 0, lambda v: v <= b)
 
     def compare_range(self, lo: int, hi: int) -> Bitset:
         """Inclusive [lo, hi]."""
-        return self.compare_ge(lo).and_(self.compare_le(hi))
+        bl = np.uint64((int(lo) + (1 << 63)) & ((1 << 64) - 1))
+        bh = np.uint64((int(hi) + (1 << 63)) & ((1 << 64) - 1))
+        return self._predicate(
+            ("range", int(lo), int(hi)), 5, bl, bh,
+            lambda v: (v >= bl) & (v <= bh),
+        )
+
+
+def _ceil64(n: int) -> int:
+    return (n + 63) & ~63

@@ -180,9 +180,10 @@ def _merge_metadata_rows(dst, src, ids: list[int]) -> None:
             from comet_tpu.ops.bitset import BSI
 
             mine = dst._numeric[field_name] = BSI()
-        for doc, biased in bsi.values.items():
-            if doc in id_set:
-                mine.set_value(doc, biased - (1 << 63))
+        docs, vals = bsi.doc_values()
+        keep = np.array([int(d) in id_set for d in docs], dtype=bool)
+        if keep.any():
+            mine.set_values(docs[keep], vals[keep])
 
 
 def merge_results(

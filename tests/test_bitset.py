@@ -130,3 +130,34 @@ def test_discard_many(rng):
     expect = sorted(set(ids.tolist()) - set(drop.tolist()))
     assert list(bs.to_array()) == expect
     bs.discard_many(np.array([999999]))  # out of range: no-op, no grow
+
+
+def test_native_matches_numpy_fallback(rng, monkeypatch):
+    """The C compare+pack kernel and the numpy path must agree bit-for-bit."""
+    from comet_tpu import native
+
+    ids = rng.choice(5000, size=2000, replace=False).astype(np.uint64)
+    vals = rng.integers(-(10**9), 10**9, size=2000)
+
+    a = BSI()
+    a.set_values(ids, vals)
+    b = BSI()
+    b.set_values(ids, vals)
+
+    probes = [int(v) for v in vals[:5]] + [-(10**9) - 1, 10**9 + 1, 0]
+    for probe in probes:
+        for op in ("compare_gt", "compare_ge", "compare_eq", "compare_lt", "compare_le"):
+            a._cache.clear()
+            b._cache.clear()
+            native_out = getattr(a, op)(probe).to_array()
+            monkeypatch.setattr(native, "bsi_compare_pack", lambda *a_, **k_: None)
+            numpy_out = getattr(b, op)(probe).to_array()
+            monkeypatch.undo()
+            assert np.array_equal(native_out, numpy_out), (op, probe)
+        a._cache.clear()
+        b._cache.clear()
+        native_out = a.compare_range(probe, probe + 10**6).to_array()
+        monkeypatch.setattr(native, "bsi_compare_pack", lambda *a_, **k_: None)
+        numpy_out = b.compare_range(probe, probe + 10**6).to_array()
+        monkeypatch.undo()
+        assert np.array_equal(native_out, numpy_out), ("range", probe)
