@@ -45,6 +45,25 @@ class DocumentFilter:
         pos = np.searchsorted(self._ids, doc_id)
         return not (pos < len(self._ids) and self._ids[pos] == doc_id)
 
+    def word_mask(self, n_words: int) -> np.ndarray | None:
+        """Packed allow-words [n_words] uint64 over doc-id space (bit i of
+        word w = doc 64w+i); None when the filter is disabled."""
+        if self._bitset is not None:
+            out = np.zeros(n_words, dtype=np.uint64)
+            m = min(len(self._bitset.words), n_words)
+            out[:m] = self._bitset.words[:m]
+            return out
+        if self._ids is None:
+            return None
+        from comet_tpu.ops.bitset import Bitset
+
+        bs = Bitset()
+        bs.add_many(self._ids[self._ids < n_words * 64])
+        out = np.zeros(n_words, dtype=np.uint64)
+        m = min(len(bs.words), n_words)
+        out[:m] = bs.words[:m]
+        return out
+
     def slot_mask(self, slot_ids: np.ndarray) -> np.ndarray | None:
         """Boolean keep-mask over an index's slot->id array; None if disabled.
 

@@ -355,12 +355,15 @@ class BaseVectorIndex:
     def _make_batch_builder(
         self, k, threshold, document_ids, nprobes, ef_search
     ) -> "VectorSearchBuilder":
+        from comet_tpu.ops.bitset import Bitset
+
         builder = VectorSearchBuilder(self)
         builder._k = int(k)
         builder._threshold = float(threshold)
-        builder._document_ids = (
-            [int(i) for i in document_ids] if document_ids is not None else None
-        )
+        if document_ids is None or isinstance(document_ids, Bitset):
+            builder._document_ids = document_ids  # bitsets stay packed
+        else:
+            builder._document_ids = [int(i) for i in document_ids]
         builder._nprobes = nprobes
         builder._ef_search = ef_search
         return builder

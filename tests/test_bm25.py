@@ -233,3 +233,32 @@ def test_device_search_batch_empty_index():
     idx = BM25SearchIndex()
     ids, scores = idx.search_batch(["anything"], k=5)
     assert (ids == 0xFFFFFFFF).all()
+
+
+def test_native_batch_matches_device_fallback(rng, monkeypatch):
+    """The C scorer and the JAX scatter path must agree (ids and scores)."""
+    from comet_tpu import native
+    from comet_tpu.indexes.bm25 import BM25SearchIndex
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no C compiler")
+    idx = BM25SearchIndex()
+    words = ["kiwi", "mango", "papaya", "guava", "lychee", "fig"]
+    for i in range(300):
+        doc = " ".join(rng.choice(words, size=rng.integers(2, 8)))
+        idx.add(i + 1, doc)
+    idx.remove(5)
+    queries = ["kiwi mango", "fig", "papaya guava lychee", "absentterm", ""]
+    sub = list(range(1, 200, 3))
+
+    for doc_ids in (None, sub):
+        n_ids, n_sc = idx.search_batch(queries, k=7, document_ids=doc_ids)
+        monkeypatch.setattr(
+            BM25SearchIndex, "_native_search_batch", lambda *a, **k_: None
+        )
+        d_ids, d_sc = idx.search_batch(queries, k=7, document_ids=doc_ids)
+        monkeypatch.undo()
+        assert np.array_equal(n_ids, d_ids), (doc_ids is None, n_ids, d_ids)
+        np.testing.assert_allclose(n_sc, d_sc, rtol=1e-5, atol=1e-6)

@@ -240,3 +240,67 @@ def test_stats():
     assert s["vector"]["live"] == 5
     assert s["text"]["docs"] == 5
     assert s["metadata"]["docs"] == 5
+
+
+def test_search_batch_equals_sequential_execute(rng):
+    """The batched hybrid API must reproduce new_search().execute() per
+    query (same candidates, fusion math, ordering, metadata-only rule)."""
+    from comet_tpu.types import FusionKind
+
+    import numpy as np
+    from comet_tpu.hybrid import new_hybrid_search_index
+    from comet_tpu.indexes.flat import FlatIndex
+    from comet_tpu.indexes.bm25 import BM25SearchIndex
+    from comet_tpu.indexes.metadata import RoaringMetadataIndex, eq, gte
+    from comet_tpu.types import DistanceKind
+
+    idx = new_hybrid_search_index(
+        FlatIndex(8, DistanceKind.L2), BM25SearchIndex(), RoaringMetadataIndex()
+    )
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    for i in range(60):
+        vec = rng.normal(size=8).astype(np.float32)
+        text = " ".join(rng.choice(words, size=4))
+        idx.add_with_id(i + 1, vec, text, {"cat": ["x", "y"][i % 2], "num": i})
+
+    queries = rng.normal(size=(5, 8)).astype(np.float32)
+    texts = ["alpha beta", "gamma", "delta epsilon", "alpha", "beta gamma"]
+    filters = [eq("cat", "x"), gte("num", 10)]
+
+    batch = idx.search_batch(
+        queries, texts, k=7,
+        metadata_filters=filters,
+        fusion_kind=FusionKind.RECIPROCAL_RANK,
+    )
+    assert len(batch) == 5
+    for qi in range(5):
+        seq = (
+            idx.new_search()
+            .with_vector(queries[qi])
+            .with_text(texts[qi])
+            .with_metadata(*filters)
+            .with_fusion_kind(FusionKind.RECIPROCAL_RANK)
+            .with_k(7)
+            .execute()
+        )
+        assert [(r.id, round(r.score, 9)) for r in batch[qi]] == [
+            (r.id, round(r.score, 9)) for r in seq
+        ], qi
+
+    # vector-only batch keeps ascending distance order
+    vb = idx.search_batch(queries, None, k=5)
+    for qi in range(5):
+        seq = idx.new_search().with_vector(queries[qi]).with_k(5).execute()
+        assert [r.id for r in vb[qi]] == [r.id for r in seq]
+
+    # text-only and metadata-only
+    tb = idx.search_batch(None, texts, k=5, metadata_filters=[eq("cat", "y")])
+    for qi in range(5):
+        seq = (
+            idx.new_search().with_text(texts[qi])
+            .with_metadata(eq("cat", "y")).with_k(5).execute()
+        )
+        assert [r.id for r in tb[qi]] == [r.id for r in seq]
+
+    mb = idx.search_batch(None, None, k=100)
+    assert mb == []
