@@ -249,44 +249,7 @@ class HybridSearchIndex:
             v_ids, v_sc = vec_idx._search_collect(v_handle)
 
         # STEP 4: per-query fusion (host; k is small)
-        from comet_tpu.indexes.base import INVALID_ID
-
-        out: list[list[HybridSearchResult]] = []
-        for qi in range(nq):
-            vscores: dict[int, float] = {}
-            if v_ids is not None:
-                row_i, row_s = v_ids[qi], v_sc[qi]
-                hit = row_i != INVALID_ID
-                vscores = {
-                    int(i): float(s) for i, s in zip(row_i[hit], row_s[hit])
-                }
-            tscores: dict[int, float] = {}
-            if t_ids is not None:
-                row_i, row_s = t_ids[qi], t_sc[qi]
-                hit = row_i != INVALID_ID
-                tscores = {
-                    int(i): float(s) for i, s in zip(row_i[hit], row_s[hit])
-                }
-            if vscores and tscores:
-                combined = fus.combine(vscores, tscores)
-                vector_only = False
-            elif vscores:
-                combined, vector_only = vscores, True
-            elif tscores:
-                combined, vector_only = tscores, False
-            else:
-                combined = (
-                    {int(i): 1.0 for i in candidates.to_array()}
-                    if candidates is not None else {}
-                )
-                vector_only = False
-            results = [HybridSearchResult(i, s) for i, s in combined.items()]
-            if vector_only:
-                results.sort(key=lambda r: (r.score, r.id))
-            else:
-                results.sort(key=lambda r: (-r.score, r.id))
-            out.append(results[:k] if k < len(results) else results)
-        return out
+        return fuse_batch_rows(v_ids, v_sc, t_ids, t_sc, candidates, fus, nq, k)
 
     # -- serialization ----------------------------------------------------------
 
@@ -357,6 +320,56 @@ class HybridSearchIndex:
                     self._require(metadata_r, "metadata reader")
                 )
             self._doc_info = doc_info
+
+
+def fuse_batch_rows(
+    v_ids, v_sc, t_ids, t_sc, candidates, fus: Fusion, nq: int, k: int
+) -> "list[list[HybridSearchResult]]":
+    """Per-query fusion of batched [Q, k] modality result arrays with
+    execute()-identical semantics: candidate masking already applied by the
+    searches, metadata-only hits score 1.0 (hybrid_search_index.go:589-593),
+    fused float64 scores, vector-only results ascending (distances).
+
+    Shared by HybridSearchIndex.search_batch and the sharded hybrid path so
+    the two stay semantically pinned to each other."""
+    from comet_tpu.indexes.base import INVALID_ID
+
+    out: list[list[HybridSearchResult]] = []
+    for qi in range(nq):
+        vscores: dict[int, float] = {}
+        if v_ids is not None:
+            row_i, row_s = v_ids[qi], v_sc[qi]
+            hit = row_i != INVALID_ID
+            vscores = {
+                int(i): float(s) for i, s in zip(row_i[hit], row_s[hit])
+            }
+        tscores: dict[int, float] = {}
+        if t_ids is not None:
+            row_i, row_s = t_ids[qi], t_sc[qi]
+            hit = row_i != INVALID_ID
+            tscores = {
+                int(i): float(s) for i, s in zip(row_i[hit], row_s[hit])
+            }
+        if vscores and tscores:
+            combined = fus.combine(vscores, tscores)
+            vector_only = False
+        elif vscores:
+            combined, vector_only = vscores, True
+        elif tscores:
+            combined, vector_only = tscores, False
+        else:
+            combined = (
+                {int(i): 1.0 for i in candidates.to_array()}
+                if candidates is not None else {}
+            )
+            vector_only = False
+        results = [HybridSearchResult(i, s) for i, s in combined.items()]
+        if vector_only:
+            results.sort(key=lambda r: (r.score, r.id))
+        else:
+            results.sort(key=lambda r: (-r.score, r.id))
+        out.append(results[:k] if k < len(results) else results)
+    return out
 
 
 def new_hybrid_search_index(

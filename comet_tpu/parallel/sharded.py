@@ -24,8 +24,12 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from comet_tpu.ops.distance import pairwise_scores
-from comet_tpu.ops.topk import IDX_SENTINEL, scan_topk
+from comet_tpu.ops.distance import (
+    pairwise_scores,
+    pairwise_scores_from_norms,
+    preprocess,
+)
+from comet_tpu.ops.topk import IDX_SENTINEL, INF, merge_topk, scan_topk, topk_lower
 from comet_tpu.types import DistanceKind
 
 AXIS = "shard"
@@ -115,6 +119,82 @@ def make_sharded_kmeans_step(mesh: Mesh, kind: DistanceKind):
     return jax.jit(fn)
 
 
+def make_sharded_ivf_search(
+    mesh: Mesh, k: int, kind: DistanceKind, nprobe: int, tile: int
+):
+    """Build a jitted sharded IVF search step (SURVEY §5.8 / VERDICT r1 #8).
+
+    Inverted lists are sharded BY ROW over the mesh (each device owns a
+    contiguous row range of the corpus plus those rows' cluster
+    assignments); centroids are replicated. Each device ranks centroids
+    (replicated compute, ties to the lower centroid id — parity with
+    `indexes/ivf._ivf_search_kernel`), builds a per-query probe-membership
+    table, scans its local rows with probe membership fused into the
+    distance mask (psum-free), and the per-shard [Q, k] candidates merge
+    with one `all_gather` over ICI — identical result contract to the
+    single-device IVFIndex.
+
+    fn(queries [Q, d] replicated (preprocessed), corpus [N, d] row-sharded,
+       sqnorms [N], assign [N] int32 (-1 = invalid), valid [N] bool,
+       centroids [nlist, d] replicated, threshold scalar)
+      -> (scores [Q, k], global_slots [Q, k]) replicated.
+    """
+
+    def local(queries, corpus, sqnorms, assign, valid, centroids, threshold):
+        q = queries.shape[0]
+        nlist = centroids.shape[0]
+        n_local = corpus.shape[0]
+        cd = pairwise_scores(queries, centroids, kind)   # [Q, nlist]
+        _, probes = lax.top_k(-cd, nprobe)               # ties -> lower id
+        ptab = (
+            jnp.zeros((q, nlist), bool)
+            .at[jnp.arange(q)[:, None], probes]
+            .set(True)
+        )
+
+        num_tiles = max(n_local // tile, 1)
+        t = n_local // num_tiles
+        xs = corpus.reshape(num_tiles, t, -1)
+        ns = sqnorms.reshape(num_tiles, t)
+        As = assign.reshape(num_tiles, t)
+        vs = valid.reshape(num_tiles, t)
+
+        def body(carry, inp):
+            bs, bi = carry
+            x, sq, a, v, t_idx = inp
+            dist = pairwise_scores_from_norms(queries, x, sq, kind)  # [Q, t]
+            member = ptab[:, jnp.maximum(a, 0)]                      # [Q, t]
+            ok = member & (a >= 0)[None, :] & v[None, :] & (dist <= threshold)
+            dist = jnp.where(ok, dist, INF)
+            kk = min(k, t)
+            s, i = topk_lower(dist, kk)
+            gi = jnp.where(s == INF, IDX_SENTINEL, i + t_idx * t).astype(jnp.int32)
+            return merge_topk(bs, bi, s, gi, k), None
+
+        init = (
+            jnp.full((q, k), INF, jnp.float32),
+            jnp.full((q, k), IDX_SENTINEL, jnp.int32),
+        )
+        (s, i), _ = lax.scan(
+            body, init, (xs, ns, As, vs, jnp.arange(num_tiles, dtype=jnp.int32))
+        )
+        base = lax.axis_index(AXIS).astype(jnp.int32) * n_local
+        gi = jnp.where(i == IDX_SENTINEL, IDX_SENTINEL, i + base)
+        all_s = lax.all_gather(s, AXIS, axis=1, tiled=True)
+        all_i = lax.all_gather(gi, AXIS, axis=1, tiled=True)
+        ss, ii = lax.sort((all_s, all_i), dimension=1, num_keys=2)
+        return ss[:, :k], ii[:, :k]
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 class ShardedFlatSearcher:
     """Convenience wrapper: shard a corpus once, search many times.
 
@@ -144,18 +224,192 @@ class ShardedFlatSearcher:
         self.kind = DistanceKind(kind)
         self.tile = min(tile, shard)
         self.n = n
+        self.n_pad = n_pad
+        self._valid_host = valid
         self.corpus, self.valid = shard_rows(mesh, pad, valid)
         self.sqnorms = shard_rows(mesh, (pad * pad).sum(axis=1).astype(np.float32))
         self._search_fns: dict[int, object] = {}
 
-    def search(self, queries: np.ndarray, k: int):
+    def _valid_for(self, allowed: np.ndarray | None):
+        """Per-call validity: base liveness AND an optional host keep-mask
+        over the original n rows (the hybrid path's metadata candidates)."""
+        if allowed is None:
+            return self.valid
+        mask = self._valid_host.copy()
+        mask[: self.n] &= np.asarray(allowed[: self.n], dtype=bool)
+        return shard_rows(self.mesh, mask)
+
+    def search(self, queries: np.ndarray, k: int, allowed: np.ndarray | None = None):
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        queries = preprocess(queries, self.kind)
         fn = self._search_fns.get(k)
         if fn is None:
             fn = make_sharded_search(self.mesh, k, self.kind, self.tile)
             self._search_fns[k] = fn
         s, i = fn(
-            jnp.asarray(queries), self.corpus, self.sqnorms, self.valid,
+            jnp.asarray(queries), self.corpus, self.sqnorms,
+            self._valid_for(allowed), jnp.asarray(np.float32(np.inf)),
+        )
+        return np.asarray(s), np.asarray(i)
+
+
+class ShardedIVFSearcher:
+    """Multi-chip IVF serving: inverted lists sharded by corpus row.
+
+    Built from a TRAINED single-device `IVFIndex` (centroids + per-row
+    cluster assignments come from it, so sharded results are oracle-exact
+    vs the source index): rows + assignments shard over the mesh, centroids
+    replicate, and every search runs the per-shard probe-masked scan +
+    all_gather merge from `make_sharded_ivf_search`.
+    """
+
+    def __init__(self, mesh: Mesh, ivf_index, tile: int = 1 << 14):
+        from comet_tpu.indexes.ivf import IVFIndex
+
+        assert isinstance(ivf_index, IVFIndex) and ivf_index.trained
+        store = ivf_index._store
+        n = store.n
+        n_dev = mesh.devices.size
+        shard = -(-n // n_dev)
+        shard = max(shard, 1)
+        n_pad = shard * n_dev
+        dim = store.vectors.shape[1]
+        pad = np.zeros((n_pad, dim), dtype=np.float32)
+        pad[:n] = store.vectors[:n]
+        assign = np.full(n_pad, -1, dtype=np.int32)
+        assign[:n] = ivf_index._assign[:n]
+        valid = np.zeros(n_pad, dtype=bool)
+        valid[:n] = store.valid[:n]
+        self.mesh = mesh
+        self.kind = ivf_index.distance_kind
+        self.n = n
+        self.n_pad = n_pad
+        self.tile = min(tile, shard)
+        self.row_ids = store.ids[:n].copy()
+        self.centroids = jnp.asarray(ivf_index._centroids)
+        self._valid_host = valid
+        self.corpus, self.assign, self.valid = shard_rows(mesh, pad, assign, valid)
+        self.sqnorms = shard_rows(mesh, (pad * pad).sum(axis=1).astype(np.float32))
+        self._search_fns: dict[tuple[int, int], object] = {}
+
+    def _valid_for(self, allowed: np.ndarray | None):
+        if allowed is None:
+            return self.valid
+        mask = self._valid_host.copy()
+        mask[: self.n] &= np.asarray(allowed[: self.n], dtype=bool)
+        return shard_rows(self.mesh, mask)
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        nprobe: int | None = None,
+        allowed: np.ndarray | None = None,
+    ):
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        queries = preprocess(queries, self.kind)
+        nlist = self.centroids.shape[0]
+        nprobe = int(nprobe) if nprobe else max(int(round(nlist**0.5)), 1)
+        nprobe = min(nprobe, nlist)
+        fn = self._search_fns.get((k, nprobe))
+        if fn is None:
+            fn = make_sharded_ivf_search(self.mesh, k, self.kind, nprobe, self.tile)
+            self._search_fns[(k, nprobe)] = fn
+        s, i = fn(
+            jnp.asarray(queries), self.corpus, self.sqnorms, self.assign,
+            self._valid_for(allowed), self.centroids,
             jnp.asarray(np.float32(np.inf)),
         )
         return np.asarray(s), np.asarray(i)
+
+
+class ShardedHybridSearcher:
+    """Multi-chip hybrid serving: metadata prefilter -> SHARDED vector scan
+    -> text scoring -> fusion, with `HybridSearchIndex.search_batch`-
+    identical result semantics (shared `fuse_batch_rows`).
+
+    The vector corpus is the sharded modality (a ShardedFlatSearcher or
+    ShardedIVFSearcher over rows whose doc ids are `row_ids`); the metadata
+    candidate bitset compiles on host into a per-row keep-mask fused into
+    every shard's scan (the packed-bitset handoff from hybrid.py, sharded);
+    BM25 scores on the host/native path. The per-query merge is exactly
+    `fuse_batch_rows`, so sharded hybrid results match the single-device
+    coordinator bit-for-bit.
+    """
+
+    def __init__(
+        self,
+        vector_searcher,
+        row_ids: np.ndarray,
+        text_index=None,
+        metadata_index=None,
+    ):
+        self._vector = vector_searcher
+        self._row_ids = np.asarray(row_ids, dtype=np.uint32)
+        assert len(self._row_ids) == vector_searcher.n
+        self._text = text_index
+        self._metadata = metadata_index
+
+    def search_batch(
+        self,
+        vectors: np.ndarray | None = None,
+        texts: "list[str] | None" = None,
+        k: int = 10,
+        *,
+        metadata_filters=None,
+        metadata_groups=None,
+        fusion=None,
+        fusion_kind=None,
+        nprobes: int | None = None,
+    ):
+        from comet_tpu.core.filter import DocumentFilter
+        from comet_tpu.fusion import default_fusion, new_fusion
+        from comet_tpu.hybrid import fuse_batch_rows
+        from comet_tpu.indexes.base import INVALID_ID
+
+        if vectors is not None:
+            vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        nq = (
+            len(vectors) if vectors is not None
+            else len(texts) if texts is not None else 0
+        )
+        if nq == 0:
+            return []
+        fus = fusion or (
+            new_fusion(fusion_kind) if fusion_kind is not None else default_fusion()
+        )
+
+        candidates = None
+        if metadata_filters or metadata_groups:
+            if self._metadata is None:
+                raise ValueError("metadata filters but no metadata index")
+            candidates = self._metadata.filter_bitset(
+                metadata_filters or [], metadata_groups or []
+            )
+            if candidates.is_empty():
+                return [[] for _ in range(nq)]
+
+        v_ids = v_sc = None
+        if vectors is not None:
+            allowed = (
+                DocumentFilter(candidates).slot_mask(self._row_ids)
+                if candidates is not None else None
+            )
+            kw = (
+                {"nprobe": nprobes}
+                if nprobes and isinstance(self._vector, ShardedIVFSearcher)
+                else {}
+            )
+            v_sc, v_slots = self._vector.search(vectors, k, allowed=allowed, **kw)
+            hit = v_slots != int(IDX_SENTINEL)
+            v_ids = np.where(
+                hit, self._row_ids[np.where(hit, v_slots, 0)], INVALID_ID
+            ).astype(np.uint32)
+
+        t_ids = t_sc = None
+        if texts is not None:
+            if self._text is None:
+                raise ValueError("text queries but no text index")
+            t_ids, t_sc = self._text.search_batch(texts, k=k, document_ids=candidates)
+
+        return fuse_batch_rows(v_ids, v_sc, t_ids, t_sc, candidates, fus, nq, k)

@@ -5,6 +5,8 @@ import numpy as np
 
 from comet_tpu.parallel.sharded import (
     ShardedFlatSearcher,
+    ShardedHybridSearcher,
+    ShardedIVFSearcher,
     make_corpus_mesh,
     make_sharded_kmeans_step,
     shard_rows,
@@ -42,6 +44,152 @@ def test_sharded_search_uneven_rows(rng):
     scores, slots = searcher.search(queries, k)
     ws, wi = topk_np(distances_np(queries, corpus, "l2"), k)
     np.testing.assert_array_equal(slots, wi)
+
+
+def test_sharded_ivf_matches_single_device(rng):
+    """Sharded IVF (row-sharded lists, replicated centroids, all_gather
+    merge) returns exactly the single-device IVFIndex's results."""
+    from comet_tpu.indexes.ivf import IVFIndex
+
+    mesh = make_corpus_mesh()
+    n, d, k, nlist = 4096, 16, 10, 32
+    corpus = rng.normal(size=(n, d)).astype(np.float32)
+    queries = rng.normal(size=(7, d)).astype(np.float32)
+    ids = np.arange(1, n + 1, dtype=np.uint32)
+
+    idx = IVFIndex(d, nlist, DistanceKind.L2)
+    idx.train(corpus[:2048])
+    idx.add_batch(corpus, ids=ids)
+
+    sharded = ShardedIVFSearcher(mesh, idx, tile=128)
+    for nprobe in (1, 4, 32):
+        want_ids, want_sc = idx.search_batch(queries, k=k, nprobes=nprobe)
+        s, slots = sharded.search(queries, k, nprobe=nprobe)
+        got_ids = sharded.row_ids[np.clip(slots, 0, n - 1)]
+        np.testing.assert_array_equal(got_ids, want_ids)
+        np.testing.assert_allclose(s, want_sc, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_ivf_respects_allowed_mask(rng):
+    from comet_tpu.indexes.ivf import IVFIndex
+
+    mesh = make_corpus_mesh()
+    n, d, nlist = 1024, 8, 8
+    corpus = rng.normal(size=(n, d)).astype(np.float32)
+    queries = rng.normal(size=(3, d)).astype(np.float32)
+    idx = IVFIndex(d, nlist, DistanceKind.L2)
+    idx.train(corpus)
+    idx.add_batch(corpus, ids=np.arange(1, n + 1, dtype=np.uint32))
+    sharded = ShardedIVFSearcher(mesh, idx, tile=64)
+    allowed = np.zeros(n, dtype=bool)
+    allowed[: n // 2] = True
+    _, slots = sharded.search(queries, 20, nprobe=nlist, allowed=allowed)
+    hit = slots != np.iinfo(np.int32).max
+    assert hit.any()
+    assert (slots[hit] < n // 2).all()
+
+
+def _build_hybrid_corpus(rng, n, d):
+    from comet_tpu.core.node import new_metadata_node_with_id
+    from comet_tpu.indexes.bm25 import BM25SearchIndex
+    from comet_tpu.indexes.flat import FlatIndex
+    from comet_tpu.indexes.metadata import RoaringMetadataIndex
+    from comet_tpu.hybrid import _DocInfo, new_hybrid_search_index
+
+    corpus = rng.normal(size=(n, d)).astype(np.float32)
+    ids = np.arange(1, n + 1, dtype=np.uint32)
+    words = [f"w{i}" for i in range(64)]
+    texts = [
+        " ".join(words[int(t)] for t in rng.integers(0, 64, size=6))
+        for _ in range(n)
+    ]
+    cats = ["a", "b", "c"]
+    metas = [
+        new_metadata_node_with_id(int(ids[i]), {"cat": cats[i % 3], "num": i % 50})
+        for i in range(n)
+    ]
+    hybrid = new_hybrid_search_index(
+        FlatIndex(d, DistanceKind.L2), BM25SearchIndex(), RoaringMetadataIndex()
+    )
+    hybrid.vector_index().add_batch(corpus, ids=ids)
+    hybrid._text.add_batch(ids.tolist(), texts)
+    hybrid._metadata.add_batch(metas)
+    hybrid._doc_info = {int(i): _DocInfo(True, True, True) for i in ids}
+    return corpus, ids, texts, hybrid
+
+
+def test_sharded_hybrid_matches_single_device(rng):
+    """Sharded hybrid (metadata mask -> sharded vector scan -> BM25 ->
+    fusion) returns HybridSearchIndex.search_batch's results exactly."""
+    from comet_tpu.indexes.metadata import eq, gte
+    from comet_tpu.types import FusionKind
+
+    mesh = make_corpus_mesh()
+    n, d, k = 2048, 16, 10
+    corpus, ids, texts, hybrid = _build_hybrid_corpus(rng, n, d)
+
+    vec_searcher = ShardedFlatSearcher(mesh, corpus, DistanceKind.L2, tile=256)
+    sharded = ShardedHybridSearcher(
+        vec_searcher, ids, text_index=hybrid._text, metadata_index=hybrid._metadata
+    )
+
+    queries = rng.normal(size=(5, d)).astype(np.float32)
+    tq = ["w1 w2 w3", "w4 w5", "w6", "w7 w8", "w9"]
+    for kwargs in (
+        {},
+        {"metadata_filters": [eq("cat", "a")]},
+        {"metadata_filters": [eq("cat", "b"), gte("num", 10)],
+         "fusion_kind": FusionKind.RECIPROCAL_RANK},
+    ):
+        want = hybrid.search_batch(queries, tq, k=k, **kwargs)
+        got = sharded.search_batch(queries, tq, k=k, **kwargs)
+        assert len(got) == len(want)
+        for g_row, w_row in zip(got, want):
+            assert [r.id for r in g_row] == [r.id for r in w_row]
+            np.testing.assert_allclose(
+                [r.score for r in g_row], [r.score for r in w_row],
+                rtol=1e-5, atol=1e-6,
+            )
+
+
+def test_sharded_hybrid_modality_subsets(rng):
+    """Vector-only (ascending), text-only, and metadata-only (score 1.0)
+    semantics match the single-device coordinator."""
+    from comet_tpu.indexes.metadata import eq
+
+    mesh = make_corpus_mesh()
+    n, d, k = 512, 8, 5
+    corpus, ids, texts, hybrid = _build_hybrid_corpus(rng, n, d)
+    vec_searcher = ShardedFlatSearcher(mesh, corpus, DistanceKind.L2, tile=64)
+    sharded = ShardedHybridSearcher(
+        vec_searcher, ids, text_index=hybrid._text, metadata_index=hybrid._metadata
+    )
+    queries = rng.normal(size=(2, d)).astype(np.float32)
+
+    # vector-only: ascending distances
+    want = hybrid.search_batch(queries, None, k=k)
+    got = sharded.search_batch(queries, None, k=k)
+    for g_row, w_row in zip(got, want):
+        assert [r.id for r in g_row] == [r.id for r in w_row]
+        assert all(
+            g_row[i].score <= g_row[i + 1].score for i in range(len(g_row) - 1)
+        )
+
+    # text-only
+    want = hybrid.search_batch(None, ["w1 w2", "w3"], k=k)
+    got = sharded.search_batch(None, ["w1 w2", "w3"], k=k)
+    for g_row, w_row in zip(got, want):
+        assert [r.id for r in g_row] == [r.id for r in w_row]
+
+    # metadata-only: all candidates score 1.0
+    want = hybrid.search_batch(
+        queries, None, k=k, metadata_filters=[eq("cat", "c")]
+    )
+    got = sharded.search_batch(
+        queries, None, k=k, metadata_filters=[eq("cat", "c")]
+    )
+    for g_row, w_row in zip(got, want):
+        assert [r.id for r in g_row] == [r.id for r in w_row]
 
 
 def test_sharded_kmeans_step_matches_single_device(rng):
