@@ -138,6 +138,41 @@ class HybridSearchIndex:
                 info.has_metadata = True
             self._doc_info[doc_id] = info
 
+    def add_batch_with_ids(self, entries) -> None:
+        """Bulk add of (doc_id, vector, text, metadata) rows: each modality's
+        index gets ONE batched call (vector scatter, BM25 batch tokenize,
+        metadata batch planes) instead of a per-document call."""
+        with self._lock:
+            vec_ids: list[int] = []
+            vecs: list[np.ndarray] = []
+            txt_ids: list[int] = []
+            txts: list[str] = []
+            meta_nodes = []
+            for doc_id, vector, text, metadata in entries:
+                doc_id = int(doc_id)
+                info = _DocInfo()
+                if vector is not None and np.size(vector) > 0:
+                    self._require(self._vector, "vector")
+                    vec_ids.append(doc_id)
+                    vecs.append(np.asarray(vector, dtype=np.float32))
+                    info.has_vector = True
+                if text:
+                    self._require(self._text, "text")
+                    txt_ids.append(doc_id)
+                    txts.append(text)
+                    info.has_text = True
+                if metadata:
+                    self._require(self._metadata, "metadata")
+                    meta_nodes.append(new_metadata_node_with_id(doc_id, metadata))
+                    info.has_metadata = True
+                self._doc_info[doc_id] = info
+            if vec_ids:
+                self._vector.add_batch(np.stack(vecs), vec_ids)
+            if txt_ids:
+                self._text.add_batch(txt_ids, txts)
+            if meta_nodes:
+                self._metadata.add_batch(meta_nodes)
+
     def remove(self, doc_id: int) -> None:
         with self._lock:
             doc_id = int(doc_id)

@@ -66,6 +66,17 @@ BUILD_SUB_BATCH = 512
 # higher = fewer sequential iterations on device.
 SEARCH_EXPAND = 1
 BUILD_EXPAND = 1
+# Fused Pallas beam (ops/beam_kernel.py): expand width, query chunk, and
+# the HBM budget for the neighborhood-blocked bf16 table.
+PALLAS_EXPAND = 8
+PALLAS_QUERY_CHUNK = 2048
+BLOCKED_TABLE_BYTES_MAX = 9 << 30
+
+
+def _use_pallas_beam() -> bool:
+    from comet_tpu.ops.pallas_scan import pallas_available
+
+    return pallas_available()
 
 
 @dataclass
@@ -109,6 +120,9 @@ class HNSWIndex(BaseVectorIndex):
         self._dev_adj0 = None
         self._dev_valid_version = -1
         self._dev_valid = None
+        # neighborhood-blocked bf16 tables for the fused Pallas beam
+        self._dev_nbr_vecs = None
+        self._dev_nbr_sqn = None
 
     # -- contracts -----------------------------------------------------------
 
@@ -159,6 +173,12 @@ class HNSWIndex(BaseVectorIndex):
             up[: len(self._upper[lvl])] = self._upper[lvl]
             self._upper[lvl] = up
 
+    def _blocked_fits(self) -> bool:
+        cap = self._store.capacity
+        return (
+            cap * 2 * self._cfg.m * self._dim * 2 <= BLOCKED_TABLE_BYTES_MAX
+        )
+
     def _ensure_device(self) -> None:
         """(Re)create device mirrors when capacity changes."""
         cap = self._store.capacity
@@ -168,6 +188,14 @@ class HNSWIndex(BaseVectorIndex):
             self._dev_adj0 = jnp.asarray(self._adj0)
             self._dev_cap = cap
             self._dev_valid_version = -1
+            self._dev_nbr_vecs = None
+            self._dev_nbr_sqn = None
+            if _use_pallas_beam() and self._blocked_fits():
+                from comet_tpu.ops.beam_kernel import build_blocked_tables
+
+                self._dev_nbr_vecs, self._dev_nbr_sqn = build_blocked_tables(
+                    self._dev_adj0, self._dev_vectors, self._dev_sqnorms
+                )
 
     def _sync_valid(self) -> None:
         if self._dev_valid_version != self._store.version:
@@ -188,15 +216,25 @@ class HNSWIndex(BaseVectorIndex):
 
         vec_rows = pad_rows(np.asarray(slots, dtype=np.int64))
         adj_rows = pad_rows(np.asarray(adj_rows_touched, dtype=np.int64))
+        adj_values = jnp.asarray(self._adj0[adj_rows])
+        adj_rows_dev = jnp.asarray(adj_rows)
         self._dev_vectors, self._dev_sqnorms, self._dev_adj0 = scatter_graph_update(
             self._dev_vectors,
             self._dev_sqnorms,
             self._dev_adj0,
             jnp.asarray(vec_rows),
             jnp.asarray(self._store.vectors[vec_rows]),
-            jnp.asarray(adj_rows),
-            jnp.asarray(self._adj0[adj_rows]),
+            adj_rows_dev,
+            adj_values,
         )
+        if self._dev_nbr_vecs is not None:
+            from comet_tpu.ops.beam_kernel import update_blocked_rows
+
+            self._dev_nbr_vecs, self._dev_nbr_sqn = update_blocked_rows(
+                self._dev_nbr_vecs, self._dev_nbr_sqn,
+                adj_rows_dev, adj_values,
+                self._dev_vectors, self._dev_sqnorms,
+            )
 
     # -- host-side distance helpers -----------------------------------------
 
@@ -302,23 +340,55 @@ class HNSWIndex(BaseVectorIndex):
         # candidate pool: beam search over the existing graph...
         entries = self._descend(vecs)
         efc = cfg.ef_construction
-        cand_d, cand_s = beam_search_layer0(
-            jnp.asarray(vecs),
-            jnp.asarray(entries),
-            self._dev_adj0,
-            self._dev_vectors,
-            self._dev_sqnorms,
-            jnp.ones(self._dev_cap, dtype=bool),  # traversal graph = all nodes
-            jnp.asarray(np.float32(np.inf)),
-            efc,
-            efc,
-            self._distance_kind,
-            (4 * efc + 32) // BUILD_EXPAND + 16,
-            BUILD_EXPAND,
-            False,  # construction: results = beam (one sort per iteration)
-        )
-        cand_d = np.asarray(cand_d)
-        cand_s = np.asarray(cand_s)
+        if self._dev_nbr_vecs is not None:
+            from comet_tpu.ops.beam_kernel import LANE, beam_search_blocked
+
+            ef_pad = next_pow2(efc, 16)
+            vpad = vecs
+            epad = entries
+            if b % LANE:
+                b_pad = -(-b // LANE) * LANE
+                vpad = np.zeros((b_pad, vecs.shape[1]), np.float32)
+                vpad[:b] = vecs
+                epad = np.zeros(b_pad, entries.dtype)
+                epad[:b] = entries
+            cand_d, cand_s = beam_search_blocked(
+                jnp.asarray(vpad),
+                jnp.asarray(epad),
+                self._dev_adj0,
+                self._dev_nbr_vecs,
+                self._dev_nbr_sqn,
+                self._dev_vectors,
+                self._dev_sqnorms,
+                self._dev_valid if self._dev_valid is not None
+                else jnp.ones(self._dev_cap, dtype=bool),
+                jnp.asarray(np.float32(np.inf)),
+                ef_pad,
+                min(efc, ef_pad),
+                PALLAS_EXPAND,
+                max(2 * ef_pad // PALLAS_EXPAND, 48),
+                False,  # construction: results = beam
+            )
+            cand_d = self._from_sq(np.asarray(cand_d)[:b])
+            cand_s = np.asarray(cand_s)[:b]
+        else:
+            cand_d, cand_s = beam_search_layer0(
+                jnp.asarray(vecs),
+                jnp.asarray(entries),
+                self._dev_adj0,
+                self._dev_vectors,
+                self._dev_sqnorms,
+                jnp.ones(self._dev_cap, dtype=bool),  # traversal = all nodes
+                jnp.asarray(np.float32(np.inf)),
+                efc,
+                efc,
+                self._distance_kind,
+                (4 * efc + 32) // BUILD_EXPAND + 16,
+                BUILD_EXPAND,
+                False,  # construction: results = beam (one sort per iteration)
+            )
+            cand_d = np.asarray(cand_d)
+            cand_s = np.asarray(cand_s)
         # ...plus exact intra-round candidates so same-round nodes can link
         if b > 1:
             # all-pairs via BLAS matmul (an einsum over a broadcast view is
@@ -529,36 +599,107 @@ class HNSWIndex(BaseVectorIndex):
             or store.deleted > 0
         )
 
-        chunks = []
-        for q0 in range(0, qpad.shape[0], HNSW_QUERY_CHUNK):
-            qc = qpad[q0 : q0 + HNSW_QUERY_CHUNK]
-            entries = self._descend(qc)
-            chunks.append(
-                beam_search_layer0(
-                    jnp.asarray(qc),
-                    jnp.asarray(entries),
-                    self._dev_adj0,
-                    self._dev_vectors,
-                    self._dev_sqnorms,
-                    allowed,
-                    thr,
-                    ef_pad,
-                    k_pad,
-                    self._distance_kind,
-                    (4 * ef_pad + 32) // SEARCH_EXPAND + 16,
-                    SEARCH_EXPAND,
-                    fused,
-                )
-            )
         import jax
 
-        chunks = jax.device_get(chunks)
-        scores = np.concatenate([s for s, _ in chunks])[:q_real, :k_eff]
-        slots_np = np.concatenate([i for _, i in chunks])[:q_real, :k_eff]
+        if self._dev_nbr_vecs is not None:
+            scores, slots_np = self._pallas_search(
+                qpad, allowed, builder._threshold, ef_pad, k_pad, fused
+            )
+        else:
+            chunks = []
+            for q0 in range(0, qpad.shape[0], HNSW_QUERY_CHUNK):
+                qc = qpad[q0 : q0 + HNSW_QUERY_CHUNK]
+                entries = self._descend(qc)
+                chunks.append(
+                    beam_search_layer0(
+                        jnp.asarray(qc),
+                        jnp.asarray(entries),
+                        self._dev_adj0,
+                        self._dev_vectors,
+                        self._dev_sqnorms,
+                        allowed,
+                        thr,
+                        ef_pad,
+                        k_pad,
+                        self._distance_kind,
+                        (4 * ef_pad + 32) // SEARCH_EXPAND + 16,
+                        SEARCH_EXPAND,
+                        fused,
+                    )
+                )
+            chunks = jax.device_get(chunks)
+            scores = np.concatenate([s for s, _ in chunks])
+            slots_np = np.concatenate([i for _, i in chunks])
 
+        scores = scores[:q_real, :k_eff]
+        slots_np = slots_np[:q_real, :k_eff]
         hit = slots_np != int(IDX_SENTINEL)
         ids = np.where(hit, store.ids[np.where(hit, slots_np, 0)], INVALID_ID)
         return ids.astype(np.uint32), scores
+
+    def _sq_threshold(self, threshold: float) -> jnp.ndarray:
+        """Map the metric-space threshold into the Pallas kernel's squared-
+        distance space (+inf when disabled; threshold 0 = disabled,
+        flat_index_search.go:269)."""
+        if threshold <= 0:
+            return jnp.asarray(np.float32(np.inf))
+        t = float(threshold)
+        if self._distance_kind == DistanceKind.L2:
+            t = t * t
+        elif self._distance_kind == DistanceKind.COSINE:
+            t = 2.0 * t
+        return jnp.asarray(np.float32(t))
+
+    def _from_sq(self, scores: np.ndarray) -> np.ndarray:
+        """Squared-kernel distances -> the index's metric space."""
+        finite = np.isfinite(scores)
+        if self._distance_kind == DistanceKind.L2:
+            return np.where(finite, np.sqrt(np.maximum(scores, 0.0)), scores)
+        if self._distance_kind == DistanceKind.COSINE:
+            return np.where(finite, scores * 0.5, scores)
+        return scores
+
+    def _pallas_search(self, qpad, allowed, threshold, ef_pad, k_pad, fused):
+        """Fused-kernel path (ops/beam_kernel.py): blocked bf16 routing,
+        exact f32 rerank, squared-space thresholds."""
+        import jax
+
+        from comet_tpu.ops.beam_kernel import LANE, beam_search_blocked
+
+        sq_thr = self._sq_threshold(threshold)
+        max_iters = max(2 * ef_pad // PALLAS_EXPAND, 48)
+        chunks = []
+        for q0 in range(0, qpad.shape[0], PALLAS_QUERY_CHUNK):
+            qc = qpad[q0 : q0 + PALLAS_QUERY_CHUNK]
+            if qc.shape[0] % LANE:
+                grown = np.zeros(
+                    (-(-qc.shape[0] // LANE) * LANE, qc.shape[1]), np.float32
+                )
+                grown[: qc.shape[0]] = qc
+                qc = grown
+            entries = self._descend(qc)
+            chunks.append(
+                beam_search_blocked(
+                    jnp.asarray(qc),
+                    jnp.asarray(entries),
+                    self._dev_adj0,
+                    self._dev_nbr_vecs,
+                    self._dev_nbr_sqn,
+                    self._dev_vectors,
+                    self._dev_sqnorms,
+                    allowed,
+                    sq_thr,
+                    ef_pad,
+                    k_pad,
+                    PALLAS_EXPAND,
+                    max_iters,
+                    fused,
+                )
+            )
+        chunks = jax.device_get(chunks)
+        scores = np.concatenate([s for s, _ in chunks])
+        slots = np.concatenate([i for _, i in chunks])
+        return self._from_sq(scores), slots
 
     # -- serialization ----------------------------------------------------------
 

@@ -91,7 +91,10 @@ class PersistentHybridIndex:
 
         for sid in self.provider.list_segments():
             self.segments.add(
-                SegmentMetadata(sid, self.provider.segment_paths(sid), self._make_index)
+                SegmentMetadata(
+                    sid, self.provider.segment_paths(sid), self._make_index,
+                    bloom_path=self.provider.bloom_path(sid),
+                )
             )
 
         self._wal_seq = self.provider.max_wal_seq() + 1
@@ -225,12 +228,42 @@ class PersistentHybridIndex:
         self.memtables.add_with_id(doc_id, vector, text, metadata)
         self._maybe_schedule_flush()
 
+    def add_batch(self, docs) -> list[int]:
+        """Bulk ingest: docs = iterable of (vector, text, metadata). One WAL
+        write + one group-commit fsync per memtable chunk (wal.py), so
+        fsync'd ingest runs at batch speed instead of per-record fsync."""
+        self._check_open()
+        docs = list(docs)
+        if not docs:
+            return []
+        from comet_tpu.core.node import reserve_node_ids
+
+        first = reserve_node_ids(len(docs))
+        ids = list(range(first, first + len(docs)))
+        self.memtables.add_batch(
+            [(i, v, t, m) for i, (v, t, m) in zip(ids, docs)]
+        )
+        self._maybe_schedule_flush()
+        return ids
+
     def remove(self, doc_id: int) -> bool:
         """Remove from memtables. Docs already flushed to immutable segments
         are NOT removed (LSM limitation shared with the reference, which only
         covers the ACTIVE memtable, storage.go:278-296)."""
         self._check_open()
         return self.memtables.remove(doc_id)
+
+    def has_document(self, doc_id: int) -> bool:
+        """Point lookup: memtables first, then segments — loading a segment
+        only if its bloom sidecar says the ID may be present."""
+        self._check_open()
+        for mt in reversed(self.memtables.list_all()):
+            if mt.index.has_document(doc_id):
+                return True
+        for seg in self.segments.list():
+            if seg.may_contain(doc_id) and seg.get_index().has_document(doc_id):
+                return True
+        return False
 
     def train(self, vectors: np.ndarray) -> None:
         """Train the vector template; every future memtable/segment index
@@ -294,13 +327,27 @@ class PersistentHybridIndex:
         finally:
             for s in streams.values():
                 s.close()
-        segment = SegmentMetadata(sid, paths, self._make_index)
+        bloom_path = self.provider.bloom_path(sid)
+        self._write_bloom(bloom_path, mt.index)
+        segment = SegmentMetadata(
+            sid, paths, self._make_index, bloom_path=bloom_path
+        )
         segment._cached = mt.index  # already in memory; no need to reload
         self.segments.add(segment)
         self.memtables.drop(mt)
         self._persist_max_id()
         if mt.wal is not None:
             mt.wal.delete()  # contents now durable in the segment
+
+    def _write_bloom(self, path: str, index: HybridSearchIndex) -> None:
+        """Doc-ID bloom sidecar so point lookups can skip this segment
+        without loading it (storage/bloom.py)."""
+        from comet_tpu.storage.bloom import BloomFilter
+
+        try:
+            BloomFilter.build(list(index._doc_info)).save(path)
+        except OSError:  # pragma: no cover - sidecar is best-effort
+            log.exception("bloom sidecar write failed for %s", path)
 
     def _flush_worker(self) -> None:
         while not self._stop.is_set():
@@ -359,7 +406,11 @@ class PersistentHybridIndex:
             finally:
                 for s in streams.values():
                     s.close()
-            new_seg = SegmentMetadata(sid, paths, self._make_index)
+            bloom_path = self.provider.bloom_path(sid)
+            self._write_bloom(bloom_path, merged)
+            new_seg = SegmentMetadata(
+                sid, paths, self._make_index, bloom_path=bloom_path
+            )
             new_seg._cached = merged
             self.segments.add(new_seg)
             for seg in to_merge:

@@ -71,6 +71,20 @@ class Memtable:
             self.size_used += estimate_document_size(vector, text, metadata)
             self.num_docs += 1
 
+    def add_batch(self, entries) -> None:
+        """Add many (doc_id, vector, text, metadata) rows: ONE WAL write +
+        one group-commit fsync for the whole batch (see wal.py), then the
+        in-memory index adds."""
+        with self._mu:
+            if self.frozen:
+                raise MemtableFrozenError("memtable is frozen")
+            if self.wal is not None:
+                self.wal.append_add_batch(entries)
+            self.index.add_batch_with_ids(entries)
+            for _doc_id, vector, text, metadata in entries:
+                self.size_used += estimate_document_size(vector, text, metadata)
+                self.num_docs += 1
+
     def remove(self, doc_id: int) -> bool:
         with self._mu:
             if not self.index.has_document(doc_id):
@@ -115,6 +129,29 @@ class MemtableQueue:
             if not self.mutable.has_room_for(vector, text, metadata):
                 self._rotate()
             self.mutable.add_with_id(doc_id, vector, text, metadata)
+
+    def add_batch(self, entries) -> None:
+        """Batch insert with rotation between size-limit-sized chunks."""
+        with self._mu:
+            pending: list = []
+            pending_size = 0
+            for entry in entries:
+                sz = estimate_document_size(entry[1], entry[2], entry[3])
+                if (
+                    pending
+                    and self.mutable.size_used + pending_size + sz
+                    > self._size_limit
+                ):
+                    self.mutable.add_batch(pending)
+                    pending, pending_size = [], 0
+                    self._rotate()
+                pending.append(entry)
+                pending_size += sz
+            if pending:
+                if self.mutable.size_used + pending_size > self._size_limit:
+                    if self.mutable.num_docs > 0:
+                        self._rotate()
+                self.mutable.add_batch(pending)
 
     def remove(self, doc_id: int) -> bool:
         """Remove from whichever memtable holds the doc (newest wins)."""

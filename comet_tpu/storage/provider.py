@@ -116,8 +116,14 @@ class StorageProvider:
         ids.sort()
         return ids
 
+    def bloom_path(self, segment_id: int) -> str:
+        """Doc-ID bloom filter sidecar (storage/bloom.py)."""
+        return os.path.join(self.base_dir, f"bloom_{segment_id:06d}.bin")
+
     def delete_segment(self, segment_id: int) -> None:
-        for path in self.segment_paths(segment_id).values():
+        paths = list(self.segment_paths(segment_id).values())
+        paths.append(self.bloom_path(segment_id))
+        for path in paths:
             try:
                 os.remove(path)
             except FileNotFoundError:

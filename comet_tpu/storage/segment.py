@@ -21,12 +21,40 @@ class SegmentMetadata:
         segment_id: int,
         paths: dict[str, str],
         index_factory: Callable[[], HybridSearchIndex],
+        bloom_path: str | None = None,
     ):
         self.segment_id = segment_id
         self.paths = paths
         self._factory = index_factory
         self._mu = threading.Lock()
         self._cached: HybridSearchIndex | None = None
+        self._bloom_path = bloom_path
+        self._bloom = None
+        self._bloom_loaded = False
+
+    # -- doc-ID bloom sidecar (storage/bloom.py) ------------------------------
+
+    def _get_bloom(self):
+        if not self._bloom_loaded:
+            with self._mu:
+                if not self._bloom_loaded:
+                    if self._bloom_path is not None:
+                        from comet_tpu.storage.bloom import BloomFilter
+
+                        try:
+                            self._bloom = BloomFilter.load(self._bloom_path)
+                        except (OSError, ValueError):
+                            self._bloom = None  # missing/corrupt: can't skip
+                    self._bloom_loaded = True
+        return self._bloom
+
+    def may_contain(self, doc_id: int) -> bool:
+        bloom = self._get_bloom()
+        return True if bloom is None else bloom.may_contain(doc_id)
+
+    def may_contain_any(self, doc_ids) -> bool:
+        bloom = self._get_bloom()
+        return True if bloom is None else bloom.may_contain_any(doc_ids)
 
     def get_index(self) -> HybridSearchIndex:
         """Lazy double-checked load (storage_segment.go:58-166)."""

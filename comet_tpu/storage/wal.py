@@ -60,16 +60,39 @@ def _decode(raw: bytes):
 
 
 class WalWriter:
-    """Append-only log for one memtable."""
+    """Append-only log for one memtable.
+
+    With ``fsync=True``, durability uses GROUP COMMIT: concurrent appends
+    elect one leader that issues a single fsync covering every record
+    written (and flushed) before it — followers just wait for a sync whose
+    coverage includes their record. A batch append writes all its records
+    in one syscall and joins the same protocol, so bulk fsync'd ingest pays
+    ~one fsync per batch instead of one per document.
+    """
 
     def __init__(self, path: str, fsync: bool = False):
         self.path = path
         self._fsync = fsync
         self._f = open(path, "ab")
         self._mu = threading.Lock()
+        # group-commit state (guarded by the condition's own lock)
+        self._sync_cv = threading.Condition()
+        self._write_seq = 0   # records written+flushed (under _mu)
+        self._sync_seq = 0    # highest write_seq covered by an fsync
+        self._syncing = False
 
     def append_add(self, doc_id: int, vector, text: str, metadata) -> None:
         self._append(_encode(OP_ADD, doc_id, vector, text, metadata))
+
+    def append_add_batch(self, entries) -> None:
+        """Append many (doc_id, vector, text, metadata) records: one write,
+        one flush, and (when fsync is on) one group-commit fsync."""
+        blob = b"".join(
+            _encode(OP_ADD, doc_id, vector, text, metadata)
+            for doc_id, vector, text, metadata in entries
+        )
+        if blob:
+            self._append(blob)
 
     def append_remove(self, doc_id: int) -> None:
         self._append(_encode(OP_REMOVE, doc_id, None, "", None))
@@ -78,8 +101,30 @@ class WalWriter:
         with self._mu:
             self._f.write(record)
             self._f.flush()
-            if self._fsync:
+            self._write_seq += 1
+            my_seq = self._write_seq
+        if self._fsync:
+            self._group_sync(my_seq)
+
+    def _group_sync(self, my_seq: int) -> None:
+        with self._sync_cv:
+            while self._sync_seq < my_seq:
+                if not self._syncing:
+                    self._syncing = True
+                    break
+                self._sync_cv.wait()
+            else:
+                return  # a leader's fsync already covered our record
+        # we are the leader (outside the cv lock: fsync can be slow)
+        try:
+            with self._mu:
+                cover = self._write_seq  # all records flushed so far
                 os.fsync(self._f.fileno())
+        finally:
+            with self._sync_cv:
+                self._syncing = False
+                self._sync_seq = max(self._sync_seq, cover)
+                self._sync_cv.notify_all()
 
     def close(self) -> None:
         with self._mu:

@@ -1,0 +1,226 @@
+"""Unit tests for the fused Pallas beam kernel (interpret mode on CPU).
+
+The merge step is pinned to a per-query numpy oracle: slot dedup keeping
+expanded copies, (score, slot) top-ef ordering, first-E-unexpanded
+selection, the active/termination flag, and the fused result-set merge.
+"""
+
+import numpy as np
+import pytest
+
+from comet_tpu.ops.beam_kernel import (
+    LANE,
+    MISC_ROWS,
+    beam_merge_step,
+    beam_search_blocked,
+    build_blocked_tables,
+)
+
+SENT = 2**31 - 1
+INF = np.inf
+
+
+def make_state(rng, ef, ew, q, cap=1000):
+    """Random-but-valid beam state: sorted ascending, unique slots."""
+    beam_d = np.full((ef, q), INF, np.float32)
+    beam_s = np.full((ef, q), SENT, np.int32)
+    beam_e = np.zeros((ef, q), np.int32)
+    new_d = np.full((ew, q), INF, np.float32)
+    new_s = np.full((ew, q), SENT, np.int32)
+    for col in range(q):
+        nb = rng.integers(1, ef + 1)
+        slots = rng.choice(cap, size=nb, replace=False)
+        dists = np.sort(rng.random(nb).astype(np.float32) * 10)
+        beam_d[:nb, col] = dists
+        beam_s[:nb, col] = slots
+        beam_e[:nb, col] = rng.integers(0, 2, size=nb)
+        nn = rng.integers(0, ew + 1)
+        # new candidates: mix of fresh slots, beam dups, in-batch dups
+        pool = np.concatenate([slots, rng.choice(cap, size=ew, replace=False)])
+        picks = rng.choice(pool, size=nn, replace=True)
+        for j, s in enumerate(picks):
+            # same slot must carry the same distance (same vector)
+            inbeam = np.where(beam_s[:, col] == s)[0]
+            if len(inbeam):
+                d = beam_d[inbeam[0], col]
+            else:
+                prev = np.where(new_s[:j, col] == s)[0]
+                d = (
+                    new_d[prev[0], col]
+                    if len(prev)
+                    else np.float32(rng.random() * 10)
+                )
+            new_d[j, col] = d
+            new_s[j, col] = s
+    return beam_d, beam_s, beam_e, new_d, new_s
+
+
+def oracle_merge(beam_d, beam_s, beam_e, new_d, new_s, ef, E,
+                 res_d=None, res_s=None, adm=None, kr=0):
+    q = beam_d.shape[1]
+    od = np.full((ef, q), INF, np.float32)
+    osl = np.full((ef, q), SENT, np.int32)
+    oe = np.zeros((ef, q), np.int32)
+    nodes = np.full((E, q), -1, np.int32)
+    active = np.zeros(q, np.int32)
+    ord_ = np.full((kr, q), INF, np.float32) if kr else None
+    ors = np.full((kr, q), SENT, np.int32) if kr else None
+    for col in range(q):
+        # kernel contract: ONE (d, s, e desc) sort over beam+new INCLUDING
+        # duplicate copies, truncate to ef, then kill adjacent same-slot
+        # rows in place (holes stay at their positions as inf/SENT)
+        entries = []
+        for d, s, e in zip(beam_d[:, col], beam_s[:, col], beam_e[:, col]):
+            if s != SENT and np.isfinite(d):
+                entries.append((float(d), int(s), int(e)))
+        for d, s in zip(new_d[:, col], new_s[:, col]):
+            if s != SENT and np.isfinite(d):
+                entries.append((float(d), int(s), 0))
+        entries.sort(key=lambda t: (t[0], t[1], -t[2]))
+        window = entries[:ef]
+        rows = []
+        for i, (d, s, e) in enumerate(window):
+            if i > 0 and window[i - 1][1] == s:
+                rows.append((INF, SENT, 0))
+            else:
+                rows.append((d, s, e))
+        for i, (d, s, e) in enumerate(rows):
+            od[i, col], osl[i, col], oe[i, col] = d, s, e
+        worst = od[ef - 1, col]
+        unexp = [
+            (d, s, i) for i, (d, s, e) in enumerate(rows)
+            if not e and s != SENT
+        ]
+        act = bool(unexp) and unexp[0][0] <= worst
+        active[col] = int(act)
+        if act:
+            for j, (d, s, i) in enumerate(unexp[:E]):
+                nodes[j, col] = s
+                oe[i, col] = 1
+        if kr:
+            # duplicate admissions are KEPT here (deduped post-loop by
+            # beam_search_blocked), so the oracle keeps them too
+            ritems = []
+            for d, s in zip(res_d[:, col], res_s[:, col]):
+                if s != SENT and np.isfinite(d):
+                    ritems.append((float(d), int(s)))
+            for d, s, a in zip(new_d[:, col], new_s[:, col], adm[:, col]):
+                if a and s != SENT and np.isfinite(d):
+                    ritems.append((float(d), int(s)))
+            rrows = sorted(ritems)[:kr]
+            for i, (d, s) in enumerate(rrows):
+                ord_[i, col], ors[i, col] = d, s
+    return od, osl, oe, nodes, active, ord_, ors
+
+
+@pytest.mark.parametrize("ef,ew,E", [(32, 32, 4), (64, 32, 8), (32, 64, 2)])
+def test_merge_step_matches_oracle(rng, ef, ew, E):
+    q = LANE
+    beam_d, beam_s, beam_e, new_d, new_s = make_state(rng, ef, ew, q)
+    od, osl, oe, misc, _, _ = beam_merge_step(
+        beam_d, beam_s, beam_e, new_d, new_s,
+        ef=ef, ew=ew, expand=E, fused=False, use_pallas=False,
+    )
+    w_d, w_s, w_e, w_nodes, w_active, _, _ = oracle_merge(
+        beam_d, beam_s, beam_e, new_d, new_s, ef, E
+    )
+    np.testing.assert_allclose(np.asarray(od), w_d, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(osl), w_s)
+    np.testing.assert_array_equal(np.asarray(oe), w_e)
+    misc = np.asarray(misc)
+    np.testing.assert_array_equal(misc[:E], w_nodes)
+    np.testing.assert_array_equal(misc[E], w_active)
+
+
+def test_merge_step_fused_result_set(rng):
+    ef, ew, E, kr, q = 32, 32, 4, 64, LANE
+    beam_d, beam_s, beam_e, new_d, new_s = make_state(rng, ef, ew, q)
+    res_d = np.full((kr, q), INF, np.float32)
+    res_s = np.full((kr, q), SENT, np.int32)
+    for col in range(q):
+        nr = rng.integers(0, kr // 2)
+        res_d[:nr, col] = np.sort(rng.random(nr).astype(np.float32) * 10)
+        res_s[:nr, col] = rng.choice(5000, size=nr, replace=False) + 2000
+    adm = rng.integers(0, 2, size=(ew, q)).astype(np.int32)
+    od, osl, oe, misc, ord_, ors = beam_merge_step(
+        beam_d, beam_s, beam_e, new_d, new_s, res_d, res_s, adm,
+        ef=ef, ew=ew, expand=E, fused=True, kr=kr, use_pallas=False,
+    )
+    w = oracle_merge(
+        beam_d, beam_s, beam_e, new_d, new_s, ef, E,
+        res_d=res_d, res_s=res_s, adm=adm, kr=kr,
+    )
+    np.testing.assert_allclose(np.asarray(ord_), w[5], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ors), w[6])
+
+
+def test_full_search_small_graph_exact(rng):
+    """ef >= n on a connected graph explores everything: the beam search
+    must return the exact top-k with oracle tie order and exact scores."""
+    n, d, k, W = 96, 16, 10, 8
+    cap = 128
+    vectors = np.zeros((cap, d), np.float32)
+    vectors[:n] = rng.normal(size=(n, d)).astype(np.float32)
+    sqn = (vectors * vectors).sum(axis=1)
+    # ring + random edges -> connected
+    adj = np.full((cap, W), -1, np.int32)
+    for i in range(n):
+        adj[i, 0] = (i + 1) % n
+        adj[i, 1] = (i - 1) % n
+        adj[i, 2:] = rng.choice(n, size=W - 2, replace=False)
+    queries = rng.normal(size=(LANE, d)).astype(np.float32)
+    entry = np.zeros(LANE, np.int32)
+
+    import jax.numpy as jnp
+
+    nbr_vecs, nbr_sqn = build_blocked_tables(
+        jnp.asarray(adj), jnp.asarray(vectors), jnp.asarray(sqn)
+    )
+    allowed = np.zeros(cap, bool)
+    allowed[:n] = True
+    sd, ss = beam_search_blocked(
+        queries, entry, adj, nbr_vecs, nbr_sqn, vectors, sqn,
+        allowed, np.float32(np.inf),
+        ef=128, k=k, expand=4, max_iters=256, fused=False, use_pallas=False,
+    )
+    sd, ss = np.asarray(sd), np.asarray(ss)
+    dist = ((queries[:, None, :] - vectors[None, :n, :]) ** 2).sum(axis=2)
+    order = np.argsort(dist, axis=1, kind="stable")[:, :k]
+    np.testing.assert_array_equal(ss, order)
+    np.testing.assert_allclose(
+        sd, np.take_along_axis(dist, order, axis=1), rtol=1e-4, atol=1e-3
+    )
+
+
+def test_full_search_fused_filter(rng):
+    """Admission mask: only even slots allowed; beam still routes through
+    all nodes, results contain only allowed ones (exact on full explore)."""
+    n, d, k, W = 64, 8, 8, 8
+    cap = 64
+    vectors = rng.normal(size=(cap, d)).astype(np.float32)
+    sqn = (vectors * vectors).sum(axis=1)
+    adj = np.full((cap, W), -1, np.int32)
+    for i in range(n):
+        adj[i, 0] = (i + 1) % n
+        adj[i, 1] = (i - 1) % n
+        adj[i, 2:] = rng.choice(n, size=W - 2, replace=False)
+    queries = rng.normal(size=(LANE, d)).astype(np.float32)
+    entry = np.zeros(LANE, np.int32)
+
+    import jax.numpy as jnp
+
+    nbr_vecs, nbr_sqn = build_blocked_tables(
+        jnp.asarray(adj), jnp.asarray(vectors), jnp.asarray(sqn)
+    )
+    allowed = np.arange(cap) % 2 == 0
+    sd, ss = beam_search_blocked(
+        queries, entry, adj, nbr_vecs, nbr_sqn, vectors, sqn,
+        allowed, np.float32(np.inf),
+        ef=64, k=k, expand=4, max_iters=128, fused=True, use_pallas=False,
+    )
+    sd, ss = np.asarray(sd), np.asarray(ss)
+    dist = ((queries[:, None, :] - vectors[None, :, :]) ** 2).sum(axis=2)
+    dist[:, ~allowed] = np.inf
+    order = np.argsort(dist, axis=1, kind="stable")[:, :k]
+    np.testing.assert_array_equal(ss, order)
+    assert (ss % 2 == 0).all()
