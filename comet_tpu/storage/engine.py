@@ -439,8 +439,13 @@ class PersistentHybridIndex:
 
         result_lists = [run(idx) for idx in sources]
         if segments:
+            # the lazy gzip load happens INSIDE the worker so a corrupt or
+            # truncated segment fails that one source, not the whole search
+            def run_segment(seg: SegmentMetadata):
+                return run(seg.get_index())
+
             with ThreadPoolExecutor(max_workers=min(8, len(segments))) as pool:
-                futures = [pool.submit(run, seg.get_index()) for seg in segments]
+                futures = [pool.submit(run_segment, seg) for seg in segments]
                 for fut in futures:
                     try:
                         result_lists.append(fut.result())
