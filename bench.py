@@ -110,7 +110,7 @@ def recall(found_ids, true_ids):
     return hits / true_ids.size
 
 
-def bench_flat(corpus, queries, storage="float32"):
+def bench_flat(corpus, queries, storage="float32", samples=1):
     from comet_tpu.indexes.flat import FlatIndex
     from comet_tpu.types import DistanceKind
 
@@ -118,8 +118,19 @@ def bench_flat(corpus, queries, storage="float32"):
     t0 = time.perf_counter()
     idx.add_batch(corpus, ids=IDS)
     log(f"flat[{storage}] add_batch(1M): {time.perf_counter() - t0:.2f}s")
-    qps, ids = time_search(idx, queries, K)
-    log(f"flat[{storage}] exact k={K}: {qps:.1f} QPS ({1e3 / qps:.3f} ms/query)")
+    runs = []
+    for _ in range(samples):
+        qps, ids = time_search(idx, queries, K)
+        runs.append(qps)
+    runs.sort()
+    qps = runs[len(runs) // 2]
+    if samples > 1:
+        log(
+            f"flat[{storage}] exact k={K}: median {qps:.1f} QPS over "
+            f"{samples} samples, band [{runs[0]:.0f}, {runs[-1]:.0f}]"
+        )
+    else:
+        log(f"flat[{storage}] exact k={K}: {qps:.1f} QPS ({1e3 / qps:.3f} ms/query)")
     return qps, ids
 
 
@@ -317,7 +328,11 @@ def main():
     run_all = "--all" in sys.argv
     corpus, queries, gt = load_data()
     IDS = np.arange(1, N + 1, dtype=np.uint32)
-    qps, ids = bench_flat(corpus, queries)
+    # Headline = MEDIAN of 5 independent samples (each `ROUNDS` full query
+    # batches) with the min-max band logged: the axon tunnel adds real
+    # run-to-run variance, and the committed claim must be what a cold
+    # driver run reproduces (VERDICT r1 weak #1).
+    qps, ids = bench_flat(corpus, queries, samples=5)
 
     if gt is not None:
         # sanity: flat exact scan must reproduce the dataset's ground truth
