@@ -70,6 +70,13 @@ BUILD_EXPAND = 1
 # the HBM budget for the neighborhood-blocked bf16 table.
 PALLAS_EXPAND = 8
 PALLAS_QUERY_CHUNK = 2048
+BUILD_PALLAS_ITERS = 96
+# Construction uses the E=1 exact-visited lockstep beam (ops/graph.py), NOT
+# the Pallas E=8 beam: graphs built from E=8 lockstep candidate pools
+# search ~2pt recall@100 worse (0.932 vs 0.951 at ef=256 on the 200k
+# fixture), and build throughput is host-dominated either way. Flip to use
+# the Pallas beam for construction experiments.
+PALLAS_BUILD = False
 BLOCKED_TABLE_BYTES_MAX = 9 << 30
 
 
@@ -239,7 +246,11 @@ class HNSWIndex(BaseVectorIndex):
     # -- host-side distance helpers -----------------------------------------
 
     def _dist_rows(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-        """Pairwise-per-row distance a[i] vs b[i...]: a [n, d], b [n, m, d]."""
+        """Pairwise-per-row distance a[i] vs b[i...]: a [n, d], b [n, m, d].
+
+        einsum, not matmul: np.matmul's batched tiny-gemv path is ~3x
+        slower here (per-batch BLAS call overhead); einsum's fused C loop
+        wins at these shapes (measured in the round-2 build profile)."""
         ip = np.einsum("nd,nmd->nm", a, b)
         if self._distance_kind == DistanceKind.COSINE:
             return 1.0 - np.clip(ip, -1.0, 1.0)
@@ -340,7 +351,7 @@ class HNSWIndex(BaseVectorIndex):
         # candidate pool: beam search over the existing graph...
         entries = self._descend(vecs)
         efc = cfg.ef_construction
-        if self._dev_nbr_vecs is not None:
+        if PALLAS_BUILD and self._dev_nbr_vecs is not None:
             from comet_tpu.ops.beam_kernel import LANE, beam_search_blocked
 
             ef_pad = next_pow2(efc, 16)
@@ -366,8 +377,12 @@ class HNSWIndex(BaseVectorIndex):
                 ef_pad,
                 min(efc, ef_pad),
                 PALLAS_EXPAND,
-                max(2 * ef_pad // PALLAS_EXPAND, 48),
-                False,  # construction: results = beam
+                BUILD_PALLAS_ITERS,
+                True,  # construction: FUSED result set — the kr window
+                       # collects every scored candidate, a strictly better
+                       # efc candidate pool than the final beam (graphs
+                       # built from beam-only candidates searched ~2pt
+                       # recall@100 worse)
             )
             cand_d = self._from_sq(np.asarray(cand_d)[:b])
             cand_s = np.asarray(cand_s)[:b]
@@ -431,52 +446,13 @@ class HNSWIndex(BaseVectorIndex):
         if valid.any():
             nbr = neighbors[valid].astype(np.int64)
             new = np.repeat(sub, valid.sum(axis=1))
-            order = np.argsort(nbr, kind="stable")
-            nbr_s, new_s = nbr[order], new[order]
-            uniq, starts, counts = np.unique(nbr_s, return_index=True, return_counts=True)
-            maxc = int(counts.max())
-            w0 = 2 * m
-            cand_mat = np.full((len(uniq), w0 + maxc), -1, dtype=np.int64)
-            cand_mat[:, :w0] = self._adj0[uniq]
-            rows = np.searchsorted(uniq, nbr_s)
-            cols = np.arange(len(nbr_s)) - starts[rows]
-            cand_mat[rows, w0 + cols] = new_s
-            # Mutual selections make a new node appear both in a neighbor's
-            # forward row and its appends — mask duplicate occurrences.
-            cm_valid = cand_mat >= 0
-            ordv = np.argsort(cand_mat, axis=1, kind="stable")
-            sv = np.take_along_axis(cand_mat, ordv, axis=1)
-            rep = np.zeros_like(cand_mat, dtype=bool)
-            rep[:, 1:] = sv[:, 1:] == sv[:, :-1]
-            dup = np.zeros_like(rep)
-            np.put_along_axis(dup, ordv, rep, axis=1)
-            keepable = cm_valid & ~dup
-            cand_mat = np.where(keepable, cand_mat, -1)
-
-            fill = keepable.sum(axis=1)
-            over = fill > w0
-            # under-capacity rows: compact left, no distances needed
-            if (~over).any():
-                rows_u = np.flatnonzero(~over)
-                cm_u = cand_mat[rows_u]
-                order_u = np.argsort(cm_u < 0, axis=1, kind="stable")
-                self._adj0[uniq[rows_u]] = np.take_along_axis(cm_u, order_u, axis=1)[
-                    :, :w0
-                ].astype(np.int32)
-            # overflowing rows (few): batched prune keeping the 2M nearest
-            if over.any():
-                rows_o = np.flatnonzero(over)
-                cm_o = cand_mat[rows_o]
-                cv = self._store.vectors[np.maximum(cm_o, 0)]
-                d = self._dist_rows(self._store.vectors[uniq[rows_o]], cv)
-                d = np.where(cm_o >= 0, d, np.inf)
-                keep = np.argsort(d, axis=1, kind="stable")[:, :w0]
-                self._adj0[uniq[rows_o]] = np.take_along_axis(cm_o, keep, axis=1).astype(
-                    np.int32
-                )
+            uniq = self._batch_reverse_edges(self._adj0, 2 * m, nbr, new)
             touched.update(int(u) for u in uniq)
 
-        # Upper layers: few nodes have level > 0; per-node handling is cheap.
+        # Upper layers: few nodes have level > 0. Forward rows per node are
+        # cheap; reverse edges batch per level (per-edge _connect_reverse
+        # profiled at ~54% of total build time before this).
+        upper_pairs: dict[int, tuple[list, list]] = {}
         for i in np.flatnonzero(sub_levels > 0):
             slot = int(sub[i])
             level = int(sub_levels[i])
@@ -485,8 +461,16 @@ class HNSWIndex(BaseVectorIndex):
                 self._ensure_level(lvl)
                 at_level = css[self._levels[css] >= lvl][:m]
                 self._upper[lvl][slot, : len(at_level)] = at_level
-                for nb in at_level.tolist():
-                    self._connect_reverse(int(nb), slot, lvl)
+                if len(at_level):
+                    nbrs, news = upper_pairs.setdefault(lvl, ([], []))
+                    nbrs.extend(int(x) for x in at_level)
+                    news.extend([slot] * len(at_level))
+        for lvl, (nbrs, news) in upper_pairs.items():
+            self._batch_reverse_edges(
+                self._upper[lvl], m,
+                np.asarray(nbrs, dtype=np.int64),
+                np.asarray(news, dtype=np.int64),
+            )
 
         best = int(np.argmax(sub_levels))
         if int(sub_levels[best]) > self._max_level:
@@ -501,23 +485,59 @@ class HNSWIndex(BaseVectorIndex):
                 (self._store.capacity, self._cfg.m), -1, dtype=np.int32
             )
 
-    def _connect_reverse(self, node: int, new_neighbor: int, level: int) -> None:
-        """Append new_neighbor to node's list; prune to capacity keeping the
-        nearest (hnsw_index.go:535-546, 667-694)."""
-        adj = self._adj0 if level == 0 else self._upper[level]
-        capacity = 2 * self._cfg.m if level == 0 else self._cfg.m
-        row = adj[node]
-        empty = np.flatnonzero(row < 0)
-        if len(empty):
-            row[empty[0]] = new_neighbor
-            return
-        cands = np.append(row, new_neighbor)
-        cv = self._store.vectors[cands]
-        d = self._dist_rows(
-            self._store.vectors[node][None, :], cv[None, :, :]
-        )[0]
-        keep = np.argsort(d, kind="stable")[:capacity]
-        adj[node] = cands[keep]
+    def _batch_reverse_edges(
+        self, adj: np.ndarray, capacity: int, nbr: np.ndarray, new: np.ndarray
+    ) -> np.ndarray:
+        """Append each reverse edge (new[i] into nbr[i]'s list) and prune
+        every overflowing row to `capacity` nearest — one vectorized pass
+        over all touched rows (hnsw_index.go:535-546, 667-694 per-edge).
+        Returns the unique touched row indices."""
+        order = np.argsort(nbr, kind="stable")
+        nbr_s, new_s = nbr[order], new[order]
+        uniq, starts, counts = np.unique(
+            nbr_s, return_index=True, return_counts=True
+        )
+        maxc = int(counts.max())
+        w0 = capacity
+        cand_mat = np.full((len(uniq), w0 + maxc), -1, dtype=np.int64)
+        cand_mat[:, :w0] = adj[uniq]
+        rows = np.searchsorted(uniq, nbr_s)
+        cols = np.arange(len(nbr_s)) - starts[rows]
+        cand_mat[rows, w0 + cols] = new_s
+        # Mutual selections make a new node appear both in a neighbor's
+        # forward row and its appends — mask duplicate occurrences.
+        cm_valid = cand_mat >= 0
+        ordv = np.argsort(cand_mat, axis=1, kind="stable")
+        sv = np.take_along_axis(cand_mat, ordv, axis=1)
+        rep = np.zeros_like(cand_mat, dtype=bool)
+        rep[:, 1:] = sv[:, 1:] == sv[:, :-1]
+        dup = np.zeros_like(rep)
+        np.put_along_axis(dup, ordv, rep, axis=1)
+        keepable = cm_valid & ~dup
+        cand_mat = np.where(keepable, cand_mat, -1)
+
+        fill = keepable.sum(axis=1)
+        over = fill > w0
+        # under-capacity rows: compact left, no distances needed
+        if (~over).any():
+            rows_u = np.flatnonzero(~over)
+            cm_u = cand_mat[rows_u]
+            order_u = np.argsort(cm_u < 0, axis=1, kind="stable")
+            adj[uniq[rows_u]] = np.take_along_axis(cm_u, order_u, axis=1)[
+                :, :w0
+            ].astype(np.int32)
+        # overflowing rows (few): batched prune keeping the nearest
+        if over.any():
+            rows_o = np.flatnonzero(over)
+            cm_o = cand_mat[rows_o]
+            cv = self._store.vectors[np.maximum(cm_o, 0)]
+            d = self._dist_rows(self._store.vectors[uniq[rows_o]], cv)
+            d = np.where(cm_o >= 0, d, np.inf)
+            keep = np.argsort(d, axis=1, kind="stable")[:, :w0]
+            adj[uniq[rows_o]] = np.take_along_axis(cm_o, keep, axis=1).astype(
+                np.int32
+            )
+        return uniq
 
     def remove(self, node_id: int) -> None:
         """Soft delete: excluded from results, still routes traversal."""

@@ -23,11 +23,17 @@ Replaces the reference's per-query two-heap searchLayer
 post-filtering weakness (hnsw_index_search.go:308-335).
 
 Visited-set semantics: instead of per-query visited bitsets (a [Q, cap/32]
-scatter that round-1 profiling showed costs 2/3 of each iteration), the
-beam is kept DUPLICATE-FREE by the slot-sort dedup, and expanded flags ride
-the beam. A node that falls off the beam can be re-scored if rediscovered
-(bounded by the iteration cap); measured recall on real graphs is
-identical to exact-visited traversal, see BENCHMARKS.md.
+scatter that round-1 profiling showed costs 2/3 of each iteration, and
+per-lane dynamic indexing does not exist on the VPU), duplicate copies of
+a node are killed by ADJACENT-EQUAL detection after a full (dist, slot,
+expanded) sort — rediscovered nodes reproduce bit-identical bf16 distances,
+so copies always sort adjacent — and the killed slots are reclaimed by a
+collision-free binary-shift compaction (_compact_up) that back-fills real
+candidates from below the window. The beam therefore holds the true
+distinct top-ef every iteration (no effective-ef shrink; an earlier
+kill-in-place design plateaued recall@100 at 0.935 from exactly that
+shrink). Expanded flags ride the beam; a node that falls off the beam can
+be re-scored if rediscovered (bounded by the iteration cap).
 """
 
 from __future__ import annotations
@@ -45,7 +51,6 @@ from comet_tpu.ops.sortnet import LANE, _roll_sub, _rows_iota
 
 INF = jnp.inf
 SENT = np.int32(2**31 - 1)
-FAKE_BASE = np.int32(1 << 28)  # unique fake slots for dead rows (> any cap)
 MISC_ROWS = 24                  # next-node slots (<= 23) + active flag row
 
 
@@ -132,6 +137,51 @@ def _prefix_sum_rows(x):
     return x
 
 
+def _full_sort_multi(arrs, less):
+    """Fully sort [C, L] ascending by `less` (C a power of two)."""
+    return _sort_chunks_multi(arrs, less, arrs[0].shape[0])
+
+
+def _compact_up(arrs, dead):
+    """Stable-compact live rows upward over dead rows: each live row moves
+    up by (#dead rows before it); dead rows end up past the live count and
+    are overwritten with (inf, SENT, 0)-style fills by the caller's mask.
+
+    Implementation: binary shifts LSB->MSB. At stage b, rows whose
+    remaining shift has bit b move up by b. COLLISION-FREE PROOF: suppose
+    mover i1 (bit b set) lands on live non-mover i2 = pos(i1) - b. Writing
+    c_i = dead-before-i, c_i1 = H1*2b + b + r1, c_i2 = H2*2b + r2 with
+    r = c & (b-1), current positions are i - r, so
+    i1 - i2 = b + r1 - r2 while #dead in [i2, i1) = c_i1 - c_i2
+    >= b + r1 - r2 (c_i1 >= c_i2 forces H1 >= H2). Every position in
+    [i2, i1) is therefore dead — including i2, contradicting i2 live.
+    Vacated-but-unfilled positions are marked dead immediately so stale
+    ghosts never move again.
+
+    Returns (arrs', live_count [1, L]).
+    """
+    c = arrs[0].shape[0]
+    rows = _rows_iota(c)
+    dd = dead.astype(jnp.int32)
+    live_count = jnp.sum(1 - dd, axis=0, keepdims=True)
+    shift = _prefix_sum_rows(dd) - dd          # dead rows strictly before
+    shift = jnp.where(dead, 0, shift)
+    # flags ride as int32 0/1: Mosaic cannot roll or bitcast i1 vectors
+    alive = 1 - dd
+    b = 1
+    while b < c:
+        mv = alive * ((shift & b) != 0)
+        recv = jnp.where(rows < (c - b), _roll_sub(mv, -b), 0)  # no wrap
+        rb = recv != 0
+        arrs = tuple(
+            jnp.where(rb, _roll_sub(a, -b), a) for a in arrs
+        )
+        shift = jnp.where(rb, _roll_sub(shift, -b) - b, shift)
+        alive = jnp.where(rb, 1, alive * (1 - mv))
+        b *= 2
+    return arrs, live_count
+
+
 def _less_score_e(a, b):
     """(dist asc, slot asc, expanded desc): copies of the same node carry
     IDENTICAL (dist, slot) keys, so this order makes duplicates ADJACENT
@@ -150,24 +200,23 @@ def _less_score(a, b):
     return (d1 < d2) | ((d1 == d2) & (s1 < s2))
 
 
-def _less_score3(a, b):
-    return _less_score((a[0], a[1]), (b[0], b[1]))
-
-
 # -- the fused merge/select kernel --------------------------------------------
 
 
-def _merge_body(
-    bd, bs, be, nd, ns, rd, rs, adm, *, ef, ew, expand, fused, kr,
-):
-    """The merge/dedup/select math on [rows, L] arrays — runs inside the
-    Pallas kernel on TPU and directly under XLA for CPU tests/fallback
-    (identical numerics; Pallas interpret-mode compiles of big
-    compare-exchange networks are pathologically slow on CPU)."""
+def _phase_sortkill(bd, bs, be, nd, ns):
+    """Sort beam+candidates by (score, slot, expanded-desc) and kill
+    duplicate copies in place.
+
+    ONE full sort makes duplicate copies of a node ADJACENT (they carry
+    IDENTICAL (score, slot) keys — bf16 distances are reproduced
+    bit-exactly on rediscovery), with the expanded copy first — so dedup
+    is a single roll-and-compare, replacing the whole visited-set
+    machinery. Returns [c, L] arrays with killed rows as (inf, SENT)."""
     L = bd.shape[1]
-    c_real = ef + ew
-    c = _next_pow2(c_real)
-    pad = c - c_real
+    ef = bd.shape[0]
+    ew = nd.shape[0]
+    c = _next_pow2(ef + ew)
+    pad = c - ef - ew
 
     d = jnp.concatenate([bd, nd], axis=0)
     s = jnp.concatenate([bs, ns], axis=0)
@@ -177,26 +226,35 @@ def _merge_body(
         s = jnp.concatenate([s, jnp.full((pad, L), SENT, jnp.int32)], axis=0)
         e = jnp.concatenate([e, jnp.zeros((pad, L), jnp.int32)], axis=0)
 
-    # ONE (score, slot, expanded-desc) top-ef sort. Duplicate copies of a
-    # node have IDENTICAL (score, slot) keys (bf16 distances are computed
-    # by the same einsum shape every iteration), so they land ADJACENT
-    # with the expanded copy first — adjacent-equal kill replaces the whole
-    # visited-set/slot-sort machinery. Killed rows become (inf, SENT) holes
-    # at their old positions; they are excluded from selection below and
-    # sink to the bottom in the NEXT iteration's sort, costing at most
-    # #dups beam slots for one round.
-    d, s, e = _topk_multi((d, s, e), _less_score_e, ef)
+    d, s, e = _full_sort_multi((d, s, e), _less_score_e)
     prev = _roll_sub(s, 1)
-    dup = (s == prev) & (s != SENT) & (_rows_iota(ef) > 0)
+    dup = (s == prev) & (s != SENT) & (_rows_iota(c) > 0)
     d = jnp.where(dup, INF, d)
     s = jnp.where(dup, SENT, s)
     e = jnp.where(dup, 0, e)
+    return d, s, e
 
-    od = d
-    osl = s
 
-    # selection: first `expand` unexpanded rows (valid rows are in
-    # ascending score order; holes are excluded)
+def _phase_compact(d, s, e, ef):
+    """Compact killed rows away (binary shifts, _compact_up) so real
+    candidates back-fill from below the window, then slice the true
+    distinct top-ef. Without this, kill-in-place holes shrink the
+    effective beam — measured recall@100 plateaued at 0.935."""
+    c = d.shape[0]
+    (d, s, e), live = _compact_up((d, s, e), s == SENT)
+    tail = _rows_iota(c) >= live
+    d = jnp.where(tail, INF, d)
+    s = jnp.where(tail, SENT, s)
+    e = jnp.where(tail, 0, e)
+    return d[:ef], s[:ef], e[:ef]
+
+
+def _phase_select(d, s, e, expand):
+    """Pick the first `expand` unexpanded rows + the termination flag.
+    Returns (oe, misc): misc rows 0..expand-1 = next nodes (-1 none),
+    row `expand` = active flag."""
+    L = d.shape[1]
+    ef = d.shape[0]
     valid = s != SENT
     unexp = (e == 0) & valid
     ud = jnp.where(unexp, d, INF)
@@ -216,31 +274,72 @@ def _merge_body(
     rows_misc.append(active.astype(jnp.int32))
     while len(rows_misc) < MISC_ROWS:
         rows_misc.append(jnp.full((1, L), -1, jnp.int32))
-    misc = jnp.concatenate(rows_misc, axis=0)
+    return oe, jnp.concatenate(rows_misc, axis=0)
+
+
+def _phase_result_sortkill(rd, rs, nd, ns, adm):
+    """Result-set update, sort+kill half: admitted candidates join the
+    running (d, slot) set; duplicate re-admissions are killed adjacent
+    (without this, copies of the best few nodes crowd every real result
+    out of the window — measured recall@100 collapse to 0.07)."""
+    L = rd.shape[1]
+    kr = rd.shape[0]
+    ew = nd.shape[0]
+    ad = jnp.where(adm != 0, nd, INF)
+    asl = jnp.where(adm != 0, ns, SENT)
+    crp = _next_pow2(kr + ew)
+    rdall = jnp.concatenate([rd, ad], axis=0)
+    rsall = jnp.concatenate([rs, asl], axis=0)
+    if crp != kr + ew:
+        rdall = jnp.concatenate(
+            [rdall, jnp.full((crp - kr - ew, L), INF, jnp.float32)], axis=0
+        )
+        rsall = jnp.concatenate(
+            [rsall, jnp.full((crp - kr - ew, L), SENT, jnp.int32)], axis=0
+        )
+    rdall, rsall = _full_sort_multi((rdall, rsall), _less_score)
+    prevr = _roll_sub(rsall, 1)
+    rdup = (rsall == prevr) & (rsall != SENT) & (_rows_iota(crp) > 0)
+    rdall = jnp.where(rdup, INF, rdall)
+    rsall = jnp.where(rdup, SENT, rsall)
+    return rdall, rsall
+
+
+def _phase_result_compact(rdall, rsall, kr):
+    crp = rdall.shape[0]
+    (rdall, rsall), rlive = _compact_up((rdall, rsall), rsall == SENT)
+    rtail = _rows_iota(crp) >= rlive
+    ord_ = jnp.where(rtail, INF, rdall)[:kr]
+    ors = jnp.where(rtail, SENT, rsall)[:kr]
+    return ord_, ors
+
+
+def _merge_body(
+    bd, bs, be, nd, ns, rd, rs, adm, *, ef, ew, expand, fused, kr,
+):
+    """The full merge/dedup/compact/select math — runs as ONE fused body
+    inside the Pallas kernel on TPU. (The CPU/test path runs the phases as
+    SEPARATE jit modules instead — see beam_merge_step — because XLA:CPU's
+    LLVM pipeline explodes superlinearly compiling sort-network ->
+    compaction -> reduction chains in a single module.)"""
+    d, s, e = _phase_sortkill(bd, bs, be, nd, ns)
+    d, s, e = _phase_compact(d, s, e, ef)
+    od, osl = d, s
+    oe, misc = _phase_select(d, s, e, expand)
 
     ord_ = ors = None
     if fused:
-        # PHASE 3: admitted candidates -> running result set (duplicate
-        # admissions possible across iterations; deduped once post-loop)
-        ad = jnp.where(adm != 0, nd, INF)
-        asl = jnp.where(adm != 0, ns, SENT)
-        cr = kr + ew
-        crp = _next_pow2(cr)
-        rdall = jnp.concatenate([rd, ad], axis=0)
-        rsall = jnp.concatenate([rs, asl], axis=0)
-        if crp != cr:
-            rdall = jnp.concatenate(
-                [rdall, jnp.full((crp - cr, L), INF, jnp.float32)], axis=0
-            )
-            rsall = jnp.concatenate(
-                [rsall, jnp.full((crp - cr, L), SENT, jnp.int32)], axis=0
-            )
-        posr = _rows_iota(crp) + jnp.zeros((crp, L), jnp.int32)
-        rsall = jnp.where(rdall == INF, FAKE_BASE + posr, rsall)
-        rdall, rsall = _topk_multi((rdall, rsall), _less_score, kr)
-        ord_ = rdall
-        ors = jnp.where(rsall >= FAKE_BASE, SENT, rsall)
+        rdall, rsall = _phase_result_sortkill(rd, rs, nd, ns, adm)
+        ord_, ors = _phase_result_compact(rdall, rsall, kr)
     return od, osl, oe, misc, ord_, ors
+
+
+# separately-jitted phase modules for the CPU/test path
+_jit_sortkill = jax.jit(_phase_sortkill)
+_jit_compact = jax.jit(_phase_compact, static_argnums=(3,))
+_jit_select = jax.jit(_phase_select, static_argnums=(3,))
+_jit_result_sortkill = jax.jit(_phase_result_sortkill)
+_jit_result_compact = jax.jit(_phase_result_compact, static_argnums=(2,))
 
 
 def _merge_kernel(*refs, ef, ew, expand, fused, kr):
@@ -265,10 +364,6 @@ def _merge_kernel(*refs, ef, ew, expand, fused, kr):
     misc[:] = outs[3]
 
 
-@partial(
-    jax.jit,
-    static_argnames=("ef", "ew", "expand", "fused", "kr", "use_pallas"),
-)
 def beam_merge_step(
     beam_d, beam_s, beam_e,   # [ef, Q]
     new_d, new_s,             # [ew, Q]
@@ -276,24 +371,44 @@ def beam_merge_step(
     adm=None,                 # [ew, Q] int32 0/1 (fused only)
     *, ef, ew, expand, fused, kr=0, use_pallas=True,
 ):
-    """One fused merge/dedup/select step (see module docstring).
+    """One fused merge/dedup/compact/select step (see module docstring).
 
     Returns (beam_d', beam_s', beam_e', misc [MISC_ROWS, Q], res_d', res_s')
     where misc rows 0..expand-1 are the next nodes to expand (-1 = none)
     and row `expand` is the per-query active flag.
 
-    use_pallas=False runs the identical math directly under XLA — the
-    CPU/test path (Pallas interpret-mode compiles of the big networks are
-    pathologically slow on the CPU backend).
-    """
+    use_pallas=False runs the identical math as SEPARATE XLA modules per
+    phase — the CPU/test path (XLA:CPU's LLVM pipeline explodes
+    superlinearly on a single sort->compact->reduce module, and Pallas
+    interpret mode is pathologically slow)."""
     q = beam_d.shape[1]
     assert q % LANE == 0, q
-    if not use_pallas:
-        return _merge_body(
-            beam_d, beam_s, beam_e.astype(jnp.int32), new_d, new_s,
-            res_d, res_s, adm,
+    if use_pallas:
+        return _beam_merge_pallas(
+            beam_d, beam_s, beam_e, new_d, new_s, res_d, res_s, adm,
             ef=ef, ew=ew, expand=expand, fused=fused, kr=kr,
         )
+    d, s, e = _jit_sortkill(
+        beam_d, beam_s, jnp.asarray(beam_e, jnp.int32), new_d, new_s
+    )
+    d, s, e = _jit_compact(d, s, e, ef)
+    oe, misc = _jit_select(d, s, e, expand)
+    if fused:
+        ra, rb = _jit_result_sortkill(res_d, res_s, new_d, new_s, adm)
+        ord_, ors = _jit_result_compact(ra, rb, kr)
+        return d, s, oe, misc, ord_, ors
+    return d, s, oe, misc, None, None
+
+
+@partial(
+    jax.jit,
+    static_argnames=("ef", "ew", "expand", "fused", "kr"),
+)
+def _beam_merge_pallas(
+    beam_d, beam_s, beam_e, new_d, new_s, res_d=None, res_s=None, adm=None,
+    *, ef, ew, expand, fused, kr=0,
+):
+    q = beam_d.shape[1]
     grid = (q // LANE,)
 
     def spec(rows):
@@ -334,11 +449,172 @@ def beam_merge_step(
 # -- full search orchestration -------------------------------------------------
 
 
+def beam_search_blocked(
+    queries, entry, adj, nbr_vecs, nbr_sqn, vectors, sqnorms,
+    allowed, sq_thresh, ef, k, expand, max_iters, fused,
+    use_pallas: bool = True,
+):
+    """Blocked-gather lockstep beam search (see _beam_search_jit).
+
+    use_pallas=False runs a host-driven python loop over the per-phase CPU
+    jit modules instead of one jitted while_loop — functionally identical;
+    exists because XLA:CPU cannot compile the fused body (see
+    beam_merge_step)."""
+    if use_pallas:
+        return _beam_search_jit(
+            queries, entry, adj, nbr_vecs, nbr_sqn, vectors, sqnorms,
+            allowed, sq_thresh, ef, k, expand, max_iters, fused,
+        )
+    return _beam_search_cpu(
+        queries, entry, adj, nbr_vecs, nbr_sqn, vectors, sqnorms,
+        allowed, sq_thresh, ef, k, expand, int(max_iters), fused,
+    )
+
+
+def _gather_score(qb, qn, adj, nbr_vecs, nbr_sqn, nodes, ew):
+    """Expand `nodes`: gather blocked neighbor rows + score (bf16 dot,
+    f32 accumulate). Returns (nd, ns, ok) as [ew, Q] arrays."""
+    Q = qb.shape[0]
+    nc = jnp.maximum(nodes, 0)                          # [E, Q]
+    node_ok = nodes >= 0
+    neigh = jnp.where(node_ok[:, :, None], adj[nc], -1)  # [E, Q, W]
+    nv = nbr_vecs[nc]                                    # [E, Q, W, d]
+    nsq = nbr_sqn[nc]                                    # [E, Q, W]
+    # NOTE: the batch-matvec einsum looks MXU-hostile, and an isolated
+    # gather+score ablation indeed favors an elementwise multiply-reduce
+    # 1.6x (scripts/profile_merge2.py) — but in the FULL loop the einsum
+    # form measures ~11% faster end-to-end (XLA fuses the gather+einsum
+    # differently); keep the einsum.
+    ip = jnp.einsum(
+        "qd,eqwd->ewq", qb, nv, preferred_element_type=jnp.float32
+    )
+    nd = jnp.maximum(
+        qn[None, None, :] + nsq.transpose(0, 2, 1) - 2.0 * ip, 0.0
+    ).reshape(ew, Q)
+    neigh_t = neigh.transpose(0, 2, 1).reshape(ew, Q)
+    ok = neigh_t >= 0
+    nd = jnp.where(ok, nd, INF)
+    ns = jnp.where(ok, neigh_t, SENT)
+    return nd, ns, ok
+
+
+def _search_init(queries, entry, vectors, sqnorms, allowed, sq_thresh,
+                 ef, expand, fused, kr):
+    Q, _ = queries.shape
+    qn = jnp.sum(queries * queries, axis=1)
+    qb = queries.astype(jnp.bfloat16)
+    ev = vectors[entry]
+    e_d = jnp.maximum(
+        qn + sqnorms[entry]
+        - 2.0 * jnp.einsum(
+            "qd,qd->q", queries, ev, preferred_element_type=jnp.float32
+        ),
+        0.0,
+    )
+    beam_d = jnp.full((ef, Q), INF, jnp.float32).at[0].set(e_d)
+    beam_s = jnp.full((ef, Q), SENT, jnp.int32).at[0].set(entry)
+    beam_e = jnp.zeros((ef, Q), jnp.int32).at[0].set(1)
+    nodes = jnp.full((expand, Q), -1, jnp.int32).at[0].set(entry)
+    if fused:
+        ok0 = allowed[entry] & (e_d <= sq_thresh)
+        res_d = jnp.full((kr, Q), INF, jnp.float32).at[0].set(
+            jnp.where(ok0, e_d, INF)
+        )
+        res_s = jnp.full((kr, Q), SENT, jnp.int32).at[0].set(
+            jnp.where(ok0, entry, SENT)
+        )
+    else:
+        res_d = jnp.zeros((1, Q), jnp.float32)
+        res_s = jnp.zeros((1, Q), jnp.int32)
+    return qn, qb, beam_d, beam_s, beam_e, nodes, res_d, res_s
+
+
+def _search_finalize(queries, qn, vectors, sqnorms, allowed, sq_thresh,
+                     beam_d, beam_s, res_d, res_s, k, fused):
+    Q = queries.shape[0]
+    if fused:
+        cd, cs = res_d.T, res_s.T                         # [Q, kr]
+    else:
+        cd, cs = beam_d.T, beam_s.T                       # [Q, ef]
+    kk = min(max(2 * k, 64), cd.shape[1])
+    sd, ss = lax.sort((cd, cs), dimension=1, num_keys=2)
+    top_s = ss[:, :kk]
+    tv = vectors[jnp.maximum(top_s, 0)]
+    ip = jnp.einsum(
+        "qd,qkd->qk", queries, tv,
+        preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST,
+    )
+    td = jnp.maximum(
+        qn[:, None] + sqnorms[jnp.maximum(top_s, 0)] - ip * 2.0, 0.0
+    )
+    # slot-sort dedup — needed in BOTH modes: the entry node's init
+    # distance is f32 while its in-loop rediscovery is bf16, so its two
+    # copies carry different keys and survive the in-kernel dedup —
+    # plus admission mask and threshold re-check on exact distances
+    s2, d2 = lax.sort((top_s, td), dimension=1, num_keys=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((Q, 1), bool), s2[:, 1:] == s2[:, :-1]], axis=1
+    )
+    ok_row = (
+        ~dup
+        & (s2 != SENT)
+        & allowed[jnp.where(s2 == SENT, 0, s2)]
+        & (d2 <= sq_thresh)
+    )
+    td = jnp.where(ok_row, d2, INF)
+    top_s = jnp.where(ok_row, s2, SENT)
+    sd2, ss2 = lax.sort((td, top_s), dimension=1, num_keys=2)
+    return sd2[:, :k], ss2[:, :k]
+
+
+def _beam_search_cpu(queries, entry, adj, nbr_vecs, nbr_sqn, vectors,
+                     sqnorms, allowed, sq_thresh, ef, k, expand, max_iters,
+                     fused):
+    """Host-driven loop for the CPU/test backend; same math as
+    _beam_search_jit, phases compiled as separate XLA modules."""
+    queries = jnp.asarray(queries, jnp.float32)
+    entry = jnp.asarray(entry, jnp.int32)
+    adj = jnp.asarray(adj)
+    vectors = jnp.asarray(vectors, jnp.float32)
+    sqnorms = jnp.asarray(sqnorms, jnp.float32)
+    allowed = jnp.asarray(allowed)
+    cap, W = adj.shape
+    ew = expand * W
+    kr = _next_pow2(max(2 * k, 64)) if fused else 0
+    qn, qb, beam_d, beam_s, beam_e, nodes, res_d, res_s = _search_init(
+        queries, entry, vectors, sqnorms, allowed, sq_thresh,
+        ef, expand, fused, kr,
+    )
+    for _ in range(int(max_iters)):
+        nd, ns, ok = _gather_score(qb, qn, adj, nbr_vecs, nbr_sqn, nodes, ew)
+        adm = None
+        if fused:
+            adm = (
+                ok & allowed[jnp.maximum(jnp.where(ns == SENT, 0, ns), 0)]
+                & (nd <= sq_thresh)
+            ).astype(jnp.int32)
+        beam_d, beam_s, beam_e, misc, res_d2, res_s2 = beam_merge_step(
+            beam_d, beam_s, beam_e, nd, ns, res_d, res_s, adm,
+            ef=ef, ew=ew, expand=expand, fused=fused, kr=kr,
+            use_pallas=False,
+        )
+        if fused:
+            res_d, res_s = res_d2, res_s2
+        misc_np = np.asarray(misc)
+        nodes = jnp.asarray(misc_np[:expand])
+        if not (misc_np[expand] > 0).any():
+            break
+    return _search_finalize(
+        queries, qn, vectors, sqnorms, allowed, sq_thresh,
+        beam_d, beam_s, res_d, res_s, k, fused,
+    )
+
+
 @partial(
     jax.jit,
-    static_argnames=("ef", "k", "expand", "max_iters", "fused", "use_pallas"),
+    static_argnames=("ef", "k", "expand", "fused"),
 )
-def beam_search_blocked(
+def _beam_search_jit(
     queries,     # [Q, d] f32 preprocessed, Q % LANE == 0
     entry,       # [Q] i32 layer-0 entry slots
     adj,         # [cap, W] i32, -1 padded
@@ -351,11 +627,11 @@ def beam_search_blocked(
     ef: int,
     k: int,
     expand: int,
-    max_iters: int,
+    max_iters,            # DYNAMIC: appears only in the loop bound, so a
+                          # traced scalar avoids a recompile per sweep value
     fused: bool,
-    use_pallas: bool = True,
 ):
-    """Blocked-gather lockstep beam search, one dispatch.
+    """Blocked-gather lockstep beam search, one dispatch (TPU).
 
     Distances inside the loop are SQUARED L2 in bf16 (cosine rides the same
     kernel via preprocessed inputs, see hnsw.py); the final top candidates
@@ -368,34 +644,11 @@ def beam_search_blocked(
     ew = expand * W
     kr = _next_pow2(max(2 * k, 64)) if fused else 0
 
-    qn = jnp.sum(queries * queries, axis=1)                # [Q]
-    qb = queries.astype(jnp.bfloat16)
-
-    ev = vectors[entry]
-    e_d = jnp.maximum(
-        qn + sqnorms[entry]
-        - 2.0 * jnp.einsum(
-            "qd,qd->q", queries, ev, preferred_element_type=jnp.float32
-        ),
-        0.0,
+    qn, qb, beam_d, beam_s, beam_e, nodes, res_d, res_s = _search_init(
+        queries, entry, vectors, sqnorms, allowed, sq_thresh,
+        ef, expand, fused, kr,
     )
-
-    beam_d = jnp.full((ef, Q), INF, jnp.float32).at[0].set(e_d)
-    beam_s = jnp.full((ef, Q), SENT, jnp.int32).at[0].set(entry)
-    beam_e = jnp.zeros((ef, Q), jnp.int32).at[0].set(1)
-    nodes = jnp.full((expand, Q), -1, jnp.int32).at[0].set(entry)
-
-    if fused:
-        ok0 = allowed[entry] & (e_d <= sq_thresh)
-        res_d = jnp.full((kr, Q), INF, jnp.float32).at[0].set(
-            jnp.where(ok0, e_d, INF)
-        )
-        res_s = jnp.full((kr, Q), SENT, jnp.int32).at[0].set(
-            jnp.where(ok0, entry, SENT)
-        )
-    else:
-        res_d = jnp.zeros((1, Q), jnp.float32)
-        res_s = jnp.zeros((1, Q), jnp.int32)
+    max_iters = jnp.asarray(max_iters, jnp.int32)
 
     def cond(state):
         i, *_, alive = state
@@ -403,32 +656,17 @@ def beam_search_blocked(
 
     def body(state):
         i, beam_d, beam_s, beam_e, nodes, res_d, res_s, _ = state
-        nc = jnp.maximum(nodes, 0)                          # [E, Q]
-        node_ok = nodes >= 0
-        neigh = jnp.where(node_ok[:, :, None], adj[nc], -1)  # [E, Q, W]
-        nv = nbr_vecs[nc]                                    # [E, Q, W, d]
-        nsq = nbr_sqn[nc]                                    # [E, Q, W]
-        ip = jnp.einsum(
-            "qd,eqwd->ewq", qb, nv, preferred_element_type=jnp.float32
-        )
-        nd = jnp.maximum(
-            qn[None, None, :] + nsq.transpose(0, 2, 1) - 2.0 * ip, 0.0
-        ).reshape(ew, Q)
-        neigh_t = neigh.transpose(0, 2, 1).reshape(ew, Q)
-        ok = neigh_t >= 0
-        nd = jnp.where(ok, nd, INF)
-        ns = jnp.where(ok, neigh_t, SENT)
-
+        nd, ns, ok = _gather_score(qb, qn, adj, nbr_vecs, nbr_sqn, nodes, ew)
         adm = None
         if fused:
             adm = (
-                ok & allowed[jnp.maximum(neigh_t, 0)] & (nd <= sq_thresh)
+                ok & allowed[jnp.maximum(jnp.where(ns == SENT, 0, ns), 0)]
+                & (nd <= sq_thresh)
             ).astype(jnp.int32)
-
         beam_d, beam_s, beam_e, misc, res_d2, res_s2 = beam_merge_step(
             beam_d, beam_s, beam_e, nd, ns, res_d, res_s, adm,
             ef=ef, ew=ew, expand=expand, fused=fused, kr=kr,
-            use_pallas=use_pallas,
+            use_pallas=True,
         )
         if fused:
             res_d, res_s = res_d2, res_s2
@@ -442,38 +680,10 @@ def beam_search_blocked(
     )
     state = lax.while_loop(cond, body, state)
     beam_d, beam_s, res_d, res_s = state[1], state[2], state[5], state[6]
-
-    if fused:
-        # result set: dedup (slots may repeat across iterations), exact
-        # f32 rerank, threshold re-check, (score, slot) order
-        cd, cs = res_d.T, res_s.T                         # [Q, kr]
-    else:
-        cd, cs = beam_d.T, beam_s.T                       # [Q, ef]
-
-    kk = min(max(2 * k, 64), cd.shape[1])
-    sd, ss = lax.sort((cd, cs), dimension=1, num_keys=2)
-    top_s = ss[:, :kk]
-    tv = vectors[jnp.maximum(top_s, 0)]
-    ip = jnp.einsum(
-        "qd,qkd->qk", queries, tv,
-        preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST,
+    return _search_finalize(
+        queries, qn, vectors, sqnorms, allowed, sq_thresh,
+        beam_d, beam_s, res_d, res_s, k, fused,
     )
-    td = jnp.maximum(qn[:, None] + sqnorms[jnp.maximum(top_s, 0)] - ip * 2.0, 0.0)
-    dead = top_s == SENT
-    if fused:
-        # dedup repeated slots (keep first occurrence after slot sort)
-        s2, d2 = lax.sort((top_s, td), dimension=1, num_keys=1)
-        dup = jnp.concatenate(
-            [jnp.zeros((Q, 1), bool), s2[:, 1:] == s2[:, :-1]], axis=1
-        )
-        td = jnp.where(dup | (s2 == SENT), INF, d2)
-        top_s = jnp.where(dup, SENT, s2)
-        td = jnp.where(td <= sq_thresh, td, INF)
-    else:
-        td = jnp.where(dead, INF, td)
-    top_s = jnp.where(td == INF, SENT, top_s)
-    sd2, ss2 = lax.sort((td, top_s), dimension=1, num_keys=2)
-    return sd2[:, :k], ss2[:, :k]
 
 
 @jax.jit

@@ -81,6 +81,11 @@ if "a" in cases:
 if "b" in cases:
     run("pallas ef=256 E=8 Q=2048 cap=48", 256, 8, 2048, 48)
     run("pallas ef=256 E=16 Q=2048 cap=32", 256, 16, 2048, 32)
+if "i" in cases:
+    for it in (128, 96, 64, 48, 40, 32):
+        run(f"pallas ef=256 E=8 iters={it}", 256, 8, 2048, it)
+    for it in (48, 32):
+        run(f"pallas ef=256 E=8 iters={it} fused", 256, 8, 2048, it, fused=True)
 if "c" in cases:
     run("pallas ef=128 E=8 Q=2048 cap=48", 128, 8, 2048, 48)
     run("pallas ef=128 E=8 Q=2048 cap=48 fused", 128, 8, 2048, 48, fused=True)

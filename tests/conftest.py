@@ -21,6 +21,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# Persistent compile cache: XLA-CPU compiles of the big sorting-network
+# kernels cost minutes; cache them across test runs (separate dir from the
+# TPU cache so backends never cross-pollinate).
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.join(_repo_root, ".jax_cache_cpu")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 # The axon sitecustomize may have pre-registered a TPU platform; the config
 # API wins as long as no backend has been initialized yet.
 jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])

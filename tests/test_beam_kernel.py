@@ -67,8 +67,9 @@ def oracle_merge(beam_d, beam_s, beam_e, new_d, new_s, ef, E,
     ors = np.full((kr, q), SENT, np.int32) if kr else None
     for col in range(q):
         # kernel contract: ONE (d, s, e desc) sort over beam+new INCLUDING
-        # duplicate copies, truncate to ef, then kill adjacent same-slot
-        # rows in place (holes stay at their positions as inf/SENT)
+        # duplicate copies, kill all-but-first copy per slot, COMPACT, then
+        # truncate to ef -> a dense sorted distinct window (lower copies
+        # back-fill killed slots)
         entries = []
         for d, s, e in zip(beam_d[:, col], beam_s[:, col], beam_e[:, col]):
             if s != SENT and np.isfinite(d):
@@ -77,13 +78,13 @@ def oracle_merge(beam_d, beam_s, beam_e, new_d, new_s, ef, E,
             if s != SENT and np.isfinite(d):
                 entries.append((float(d), int(s), 0))
         entries.sort(key=lambda t: (t[0], t[1], -t[2]))
-        window = entries[:ef]
+        seen: set = set()
         rows = []
-        for i, (d, s, e) in enumerate(window):
-            if i > 0 and window[i - 1][1] == s:
-                rows.append((INF, SENT, 0))
-            else:
+        for d, s, e in entries:
+            if s not in seen:
+                seen.add(s)
                 rows.append((d, s, e))
+        rows = rows[:ef]
         for i, (d, s, e) in enumerate(rows):
             od[i, col], osl[i, col], oe[i, col] = d, s, e
         worst = od[ef - 1, col]
@@ -98,8 +99,7 @@ def oracle_merge(beam_d, beam_s, beam_e, new_d, new_s, ef, E,
                 nodes[j, col] = s
                 oe[i, col] = 1
         if kr:
-            # duplicate admissions are KEPT here (deduped post-loop by
-            # beam_search_blocked), so the oracle keeps them too
+            # kernel contract: sorted DISTINCT top-kr of res + admitted
             ritems = []
             for d, s in zip(res_d[:, col], res_s[:, col]):
                 if s != SENT and np.isfinite(d):
@@ -107,9 +107,16 @@ def oracle_merge(beam_d, beam_s, beam_e, new_d, new_s, ef, E,
             for d, s, a in zip(new_d[:, col], new_s[:, col], adm[:, col]):
                 if a and s != SENT and np.isfinite(d):
                     ritems.append((float(d), int(s)))
-            rrows = sorted(ritems)[:kr]
-            for i, (d, s) in enumerate(rrows):
+            rseen: set = set()
+            i = 0
+            for d, s in sorted(ritems):
+                if s in rseen:
+                    continue
+                rseen.add(s)
+                if i >= kr:
+                    break
                 ord_[i, col], ors[i, col] = d, s
+                i += 1
     return od, osl, oe, nodes, active, ord_, ors
 
 
@@ -157,8 +164,8 @@ def test_merge_step_fused_result_set(rng):
 def test_full_search_small_graph_exact(rng):
     """ef >= n on a connected graph explores everything: the beam search
     must return the exact top-k with oracle tie order and exact scores."""
-    n, d, k, W = 96, 16, 10, 8
-    cap = 128
+    n, d, k, W = 60, 16, 10, 8
+    cap = 64
     vectors = np.zeros((cap, d), np.float32)
     vectors[:n] = rng.normal(size=(n, d)).astype(np.float32)
     sqn = (vectors * vectors).sum(axis=1)
@@ -181,7 +188,7 @@ def test_full_search_small_graph_exact(rng):
     sd, ss = beam_search_blocked(
         queries, entry, adj, nbr_vecs, nbr_sqn, vectors, sqn,
         allowed, np.float32(np.inf),
-        ef=128, k=k, expand=4, max_iters=256, fused=False, use_pallas=False,
+        ef=64, k=k, expand=4, max_iters=256, fused=False, use_pallas=False,
     )
     sd, ss = np.asarray(sd), np.asarray(ss)
     dist = ((queries[:, None, :] - vectors[None, :n, :]) ** 2).sum(axis=2)
