@@ -413,3 +413,119 @@ class ShardedHybridSearcher:
             t_ids, t_sc = self._text.search_batch(texts, k=k, document_ids=candidates)
 
         return fuse_batch_rows(v_ids, v_sc, t_ids, t_sc, candidates, fus, nq, k)
+
+
+def make_sharded_hnsw_search(
+    mesh: Mesh, ef: int, k: int, kind: DistanceKind, max_iters: int,
+    expand: int, fused: bool,
+):
+    """Build a jitted QUERY-sharded HNSW beam step: the graph (adjacency +
+    vectors) replicates on every device, the query batch shards over the
+    mesh, and each device runs the full lockstep beam on its slice — the
+    classic replicate-small-state / shard-big-batch serving layout (graph
+    tables are MBs; the query stream is the unbounded axis). No collective
+    is needed: results stay sharded with their queries."""
+    from comet_tpu.ops.graph import beam_search_layer0
+
+    def local(queries, entries, adj, vectors, sqnorms, allowed, threshold):
+        return beam_search_layer0(
+            queries, entries, adj, vectors, sqnorms, allowed, threshold,
+            ef, k, kind, max_iters, expand, fused,
+        )
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(), P(), P(), P(), P()),
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class ShardedHNSWSearcher:
+    """Multi-chip HNSW serving: graph replicated, queries sharded.
+
+    Mirrors HNSWIndex._search_batch parameters exactly (same beam kernel,
+    same ef/k padding and iteration budget), so sharded results match the
+    single-device index bit-for-bit. Upper-layer greedy descent runs on the
+    host (it is ~N/M nodes of numpy work); the layer-0 beam — all the
+    FLOPs — runs SPMD over the mesh.
+    """
+
+    def __init__(self, mesh: Mesh, hnsw_index):
+        from comet_tpu.indexes.hnsw import SEARCH_EXPAND
+
+        self._mesh = mesh
+        self._idx = hnsw_index
+        self._expand = SEARCH_EXPAND
+        rep = NamedSharding(mesh, P())
+        self._adj = jax.device_put(jnp.asarray(hnsw_index._adj0), rep)
+        self._vectors = jax.device_put(
+            jnp.asarray(hnsw_index._store.vectors), rep
+        )
+        self._sqnorms = jnp.sum(self._vectors * self._vectors, axis=1)
+        self._valid = jax.device_put(
+            jnp.asarray(hnsw_index._store.valid), rep
+        )
+        self._fns: dict = {}
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        ef_search: int | None = None,
+        allowed: np.ndarray | None = None,
+        threshold: float = 0.0,
+    ):
+        """Returns (scores [Q, k], slots [Q, k]); empty = (inf, SENTINEL)."""
+        from comet_tpu.indexes.base import (
+            next_pow2,
+            pad_queries,
+            threshold_scalar,
+        )
+        from comet_tpu.core.limiter import sanitize_k
+        from comet_tpu.ops.distance import preprocess
+
+        idx = self._idx
+        n_dev = self._mesh.devices.size
+        k_eff = sanitize_k(k, idx._store.n)
+        ef = max(idx._effective_ef(ef_search), k_eff)
+        k_pad = min(next_pow2(k_eff), idx._store.capacity)
+        ef_pad = next_pow2(ef, 16)
+
+        qprep = preprocess(
+            np.atleast_2d(np.asarray(queries, dtype=np.float32)),
+            idx._distance_kind,
+        )
+        q_real = len(qprep)
+        # pad the query batch to a multiple of the mesh size
+        q_pad = -(-q_real // n_dev) * n_dev
+        qpad, _ = pad_queries(qprep)
+        if len(qpad) % n_dev:
+            q_pad = -(-len(qpad) // n_dev) * n_dev
+            grown = np.zeros((q_pad, qpad.shape[1]), np.float32)
+            grown[: len(qpad)] = qpad
+            qpad = grown
+        entries = idx._descend(qpad)
+
+        amask = jnp.asarray(idx._store.valid)
+        if allowed is not None:
+            amask = jnp.logical_and(amask, jnp.asarray(allowed))
+        amask = jax.device_put(amask, NamedSharding(self._mesh, P()))
+        fused = (
+            allowed is not None or threshold > 0 or idx._store.deleted > 0
+        )
+        key = (ef_pad, k_pad, fused)
+        if key not in self._fns:
+            self._fns[key] = make_sharded_hnsw_search(
+                self._mesh, ef_pad, k_pad, idx._distance_kind,
+                (4 * ef_pad + 32) // self._expand + 16, self._expand, fused,
+            )
+        s, i = self._fns[key](
+            jnp.asarray(qpad), jnp.asarray(entries),
+            self._adj, self._vectors, self._sqnorms, amask,
+            threshold_scalar(threshold),
+        )
+        s, i = np.asarray(s), np.asarray(i)
+        return s[:q_real, :k_eff], i[:q_real, :k_eff]

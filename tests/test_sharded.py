@@ -215,3 +215,50 @@ def test_sharded_kmeans_step_matches_single_device(rng):
                 np.asarray(new_c)[c], members.mean(axis=0), rtol=1e-4, atol=1e-4
             )
     assert bool(changed)
+
+
+def test_sharded_hnsw_matches_single_device(rng):
+    """Query-sharded HNSW over a replicated graph returns the single-device
+    index's results bit-for-bit (same beam kernel, same parameters)."""
+    from comet_tpu.indexes.hnsw import HNSWConfig, HNSWIndex
+    from comet_tpu.parallel.sharded import ShardedHNSWSearcher, make_corpus_mesh
+
+    n, d = 600, 16
+    corpus = rng.normal(size=(n, d)).astype(np.float32)
+    ids = np.arange(1, n + 1, dtype=np.uint32)
+    idx = HNSWIndex(d, DistanceKind.L2, HNSWConfig(m=8, ef_construction=48, ef_search=64))
+    idx.add_batch(corpus, ids=ids.tolist())
+
+    mesh = make_corpus_mesh()
+    sharded = ShardedHNSWSearcher(mesh, idx)
+    q = rng.normal(size=(24, d)).astype(np.float32)
+
+    want_ids, want_sc = idx.search_batch(q, k=10)
+    s, slots = sharded.search(q, k=10)
+    got_ids = np.where(
+        slots == 2**31 - 1, 0xFFFFFFFF, idx._store.ids[np.clip(slots, 0, n - 1)]
+    ).astype(np.uint32)
+    np.testing.assert_array_equal(got_ids, want_ids)
+    np.testing.assert_allclose(s, want_sc, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_hnsw_allowed_and_uneven_batch(rng):
+    """Odd query counts pad to the mesh; allowed masks gate results."""
+    from comet_tpu.indexes.hnsw import HNSWConfig, HNSWIndex
+    from comet_tpu.parallel.sharded import ShardedHNSWSearcher, make_corpus_mesh
+
+    n, d = 300, 8
+    corpus = rng.normal(size=(n, d)).astype(np.float32)
+    idx = HNSWIndex(d, DistanceKind.L2, HNSWConfig(m=8, ef_construction=48, ef_search=64))
+    idx.add_batch(corpus, ids=list(range(1, n + 1)))
+
+    mesh = make_corpus_mesh()
+    sharded = ShardedHNSWSearcher(mesh, idx)
+    q = rng.normal(size=(13, d)).astype(np.float32)  # not divisible by 8
+    allowed = np.zeros(idx._store.capacity, dtype=bool)
+    allowed[0:n:2] = True  # even slots only
+    s, slots = sharded.search(q, k=5, allowed=allowed)
+    assert s.shape == (13, 5)
+    live = slots != 2**31 - 1
+    assert live.any()
+    assert (slots[live] % 2 == 0).all()
