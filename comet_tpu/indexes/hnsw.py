@@ -130,6 +130,10 @@ class HNSWIndex(BaseVectorIndex):
         # neighborhood-blocked bf16 tables for the fused Pallas beam
         self._dev_nbr_vecs = None
         self._dev_nbr_sqn = None
+        # stacked upper-layer adjacency for device-side greedy descent
+        self._graph_version = 0
+        self._dev_upper = None
+        self._dev_upper_version = -1
 
     # -- contracts -----------------------------------------------------------
 
@@ -477,7 +481,43 @@ class HNSWIndex(BaseVectorIndex):
             self._max_level = int(sub_levels[best])
             self._entry_slot = int(sub[best])
 
+        self._graph_version += 1
         self._scatter_device(all_new, np.fromiter(touched, dtype=np.int64))
+
+    def _ensure_dev_upper(self) -> None:
+        """Lazily (re)stack upper-layer adjacency [nlev, cap, m] on device
+        for greedy_descend — refreshed only when the graph changed."""
+        if (
+            self._dev_upper_version == self._graph_version
+            and self._dev_upper is not None
+            and self._dev_upper.shape[1] == self._store.capacity
+        ):
+            return
+        cap = self._store.capacity
+        m = self._cfg.m
+        stack = [
+            self._upper.get(lvl, np.full((cap, m), -1, dtype=np.int32))
+            for lvl in range(self._max_level, 0, -1)
+        ]
+        self._dev_upper = jnp.asarray(np.stack(stack)) if stack else None
+        self._dev_upper_version = self._graph_version
+
+    def _descend_for_search(self, qc: np.ndarray):
+        """Per-query layer-0 entry slots; device descent for big batches
+        (the host per-hop einsums measured 60%+ of search time at Q=2048),
+        host numpy otherwise."""
+        if self._max_level < 1 or not self._upper:
+            return np.full(len(qc), self._entry_slot, dtype=np.int32)
+        if len(qc) < 512:
+            return self._descend(qc)
+        from comet_tpu.ops.graph import greedy_descend
+
+        self._ensure_dev_upper()
+        entry = jnp.full(len(qc), self._entry_slot, jnp.int32)
+        return greedy_descend(
+            jnp.asarray(qc), entry, self._dev_upper,
+            self._dev_vectors, self._dev_sqnorms,
+        )
 
     def _ensure_level(self, level: int) -> None:
         if level not in self._upper:
@@ -548,6 +588,7 @@ class HNSWIndex(BaseVectorIndex):
         """Hard-delete with slot compaction + adjacency remap + entry-point
         repair (hnsw_index.go:384-413)."""
         with self._lock:
+            self._graph_version += 1
             old_cap = self._store.capacity
             keep = self._store.flush()
             n_new = len(keep)
@@ -697,7 +738,7 @@ class HNSWIndex(BaseVectorIndex):
                 )
                 grown[: qc.shape[0]] = qc
                 qc = grown
-            entries = self._descend(qc)
+            entries = self._descend_for_search(qc)
             chunks.append(
                 beam_search_blocked(
                     jnp.asarray(qc),
@@ -747,6 +788,7 @@ class HNSWIndex(BaseVectorIndex):
                 serial.write_array(f, self._upper[lvl][:n])
 
     def read_from(self, f: BinaryIO) -> None:
+        self._graph_version += 1
         serial.read_magic(f, MAGIC, VERSION)
         kind = DistanceKind(serial.read_str(f))
         dim = serial.read_u32(f)

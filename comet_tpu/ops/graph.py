@@ -190,6 +190,60 @@ def beam_search_layer0(
     return sd[:, :k], ss[:, :k]
 
 
+@jax.jit
+def greedy_descend(queries, entry, upper, vectors, sqnorms):
+    """Device-side greedy descent through the upper layers.
+
+    queries [Q, d] preprocessed f32; entry [Q] i32; upper [nlev, cap, m]
+    int32 adjacency stacked TOP level first (-1 padded). Comparisons run in
+    squared-distance space (order-equivalent to L2/cosine on preprocessed
+    vectors). Returns per-query layer-0 entry slots [Q] i32.
+
+    Replaces the host numpy descent for large batches: at Q=2048 the host
+    per-hop [Q, m, d] einsums cost ~0.4 s/chunk — measured 60%+ of HNSW
+    search time in bench.py (the per-hop device gather is row-count-bound
+    and ~20x cheaper)."""
+    qn = jnp.sum(queries * queries, axis=1)
+    cur = entry.astype(jnp.int32)
+    ev = vectors[cur]
+    cur_d = qn + sqnorms[cur] - 2.0 * jnp.einsum(
+        "qd,qd->q", queries, ev, preferred_element_type=jnp.float32
+    )
+    q_iota = jnp.arange(queries.shape[0])
+
+    def per_level(carry, adj_l):
+        cur, cur_d = carry
+
+        def cond(st):
+            i, _, _, moved = st
+            return (i < 64) & moved
+
+        def body(st):
+            i, cur, cur_d, _ = st
+            neigh = adj_l[cur]                       # [Q, m]
+            ok = neigh >= 0
+            safe = jnp.maximum(neigh, 0)
+            nv = vectors[safe]                       # [Q, m, d]
+            ip = jnp.einsum(
+                "qd,qmd->qm", queries, nv,
+                preferred_element_type=jnp.float32,
+            )
+            ndist = qn[:, None] + sqnorms[safe] - 2.0 * ip
+            ndist = jnp.where(ok, ndist, jnp.inf)
+            best = jnp.argmin(ndist, axis=1)
+            bd = ndist[q_iota, best]
+            move = bd < cur_d
+            cur = jnp.where(move, neigh[q_iota, best], cur)
+            cur_d = jnp.where(move, bd, cur_d)
+            return (i + 1, cur, cur_d, jnp.any(move))
+
+        st = lax.while_loop(cond, body, (jnp.int32(0), cur, cur_d, True))
+        return (st[1], st[2]), 0
+
+    (cur, _), _ = lax.scan(per_level, (cur, cur_d), upper)
+    return cur
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def scatter_rows(dst: jax.Array, rows: jax.Array, values: jax.Array) -> jax.Array:
     """In-place row update of a device-resident array (donated buffer) —
