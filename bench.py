@@ -299,19 +299,28 @@ def bench_all(corpus, queries, truth_ids, truth100=None):
     results["hybrid_p95_ms"] = (float(lat[int(nq * 0.95)]), None)
     del hybrid
 
-    # Metadata (baseline: 1-filter 45us, 4-filter 180us on 10M)
+    # Metadata (baseline: add 540k docs/s, 1-filter 45us, 4-filter 180us on 10M)
     mi = RoaringMetadataIndex()
     cats = ["a", "b", "c", "d", "e"]
     n_meta = 1_000_000
     prices = rng.integers(0, 10_000, size=n_meta)
+    meta_ids = np.arange(1, n_meta + 1, dtype=np.uint64)
+    cat_col = np.array(cats)[np.arange(n_meta) % 5]
+    t0 = time.perf_counter()
+    mi.add_columns(meta_ids, {"cat": cat_col, "price": prices})
+    t_index = time.perf_counter() - t0
+    log(f"metadata add_columns {n_meta}: {t_index:.2f}s ({n_meta / t_index:.0f} docs/s)")
+    # node-based batch path for comparison (per-doc Python routing)
+    mi_nodes = RoaringMetadataIndex()
     batch = [
         new_metadata_node_with_id(i + 1, {"cat": cats[i % 5], "price": int(prices[i])})
         for i in range(n_meta)
     ]
     t0 = time.perf_counter()
-    mi.add_batch(batch)
-    t_index = time.perf_counter() - t0
-    log(f"metadata add {n_meta}: {t_index:.1f}s ({n_meta / t_index:.0f} docs/s)")
+    mi_nodes.add_batch(batch)
+    t_nodes = time.perf_counter() - t0
+    log(f"metadata add_batch(nodes) {n_meta}: {t_nodes:.1f}s ({n_meta / t_nodes:.0f} docs/s)")
+    del mi_nodes, batch
     t0 = time.perf_counter()
     nq = 500
     for i in range(nq):

@@ -256,6 +256,63 @@ class RoaringMetadataIndex:
                     np.asarray(ids, dtype=np.uint64), np.asarray(vals, dtype=np.int64)
                 )
 
+    def add_columns(self, doc_ids, columns: dict) -> None:
+        """Columnar bulk insert: one numpy array per field.
+
+        The TPU-native bulk-ingest shape (same design move as the vector
+        indexes' `add_batch`): numeric columns become ONE vectorized
+        fixed-point convert + dense-array scatter, categorical columns
+        group by unique value and apply one packed-word `add_many` per
+        distinct value — no per-document Python routing. Semantics match
+        `add_batch` over nodes with the same fields (reference bulk path:
+        metadata_index.go:126-154 per-doc map iteration).
+
+        `columns` maps field name -> array-like of length len(doc_ids):
+        numeric dtypes index as fixed-point numerics (floats x100, ints
+        x100 — same rule as `add`); string/object/bool arrays index as
+        categorical "field:value" planes. NaN entries in float columns are
+        skipped (treated as missing).
+        """
+        doc_ids = np.asarray(doc_ids, dtype=np.uint64)
+        n = len(doc_ids)
+        with self._lock:
+            self._all_docs.add_many(doc_ids)
+            for field_name, values in columns.items():
+                arr = np.asarray(values)
+                if len(arr) != n:
+                    raise InvalidConfigError(
+                        f"column {field_name!r} length {len(arr)} != ids {n}"
+                    )
+                if arr.dtype == bool:
+                    arr = arr.astype("U5")  # "True"/"False" categorical
+                if np.issubdtype(arr.dtype, np.integer):
+                    fixed = arr.astype(np.int64) * FIXED_POINT_SCALE
+                    ids, vals = doc_ids, fixed
+                elif np.issubdtype(arr.dtype, np.floating):
+                    ok = ~np.isnan(arr)
+                    fixed = (arr[ok] * FIXED_POINT_SCALE).astype(np.int64)
+                    ids, vals = doc_ids[ok], fixed
+                else:
+                    sarr = arr.astype("U") if arr.dtype == object else arr
+                    if not np.issubdtype(sarr.dtype, np.str_):
+                        raise InvalidConfigError(
+                            f"unsupported column dtype for {field_name!r}: {arr.dtype}"
+                        )
+                    uniq, inv = np.unique(sarr, return_inverse=True)
+                    order = np.argsort(inv, kind="stable")
+                    bounds = np.searchsorted(inv[order], np.arange(len(uniq) + 1))
+                    for u in range(len(uniq)):
+                        key = f"{field_name}:{uniq[u]}"
+                        bs = self._categorical.get(key)
+                        if bs is None:
+                            bs = self._categorical[key] = Bitset()
+                        bs.add_many(doc_ids[order[bounds[u]: bounds[u + 1]]])
+                    continue
+                bsi = self._numeric.get(field_name)
+                if bsi is None:
+                    bsi = self._numeric[field_name] = BSI()
+                bsi.set_values(ids, vals)
+
     def _add_categorical(self, field: str, value: str, doc_id: int) -> None:
         key = f"{field}:{value}"
         bs = self._categorical.get(key)

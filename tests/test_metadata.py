@@ -247,3 +247,65 @@ def test_add_batch_matches_add(rng):
         rb = sorted(r.id for r in b.new_search().with_filters(f).execute())
         assert ra == rb, f
     assert a.count() == b.count() == 500
+
+
+def test_add_columns_matches_add_batch(rng):
+    from comet_tpu.indexes.metadata import gt as _gt, lte as _lte
+
+    a, b = RoaringMetadataIndex(), RoaringMetadataIndex()
+    n = 1000
+    ids_arr = np.arange(1, n + 1, dtype=np.uint64)
+    cats = np.array([["x", "y", "z"][i % 3] for i in range(n)])
+    prices = (np.arange(n, dtype=np.float64) / 3.0)
+    counts = rng.integers(-50, 50, size=n)
+    flags = np.array([i % 2 == 0 for i in range(n)])
+    nodes = [
+        new_metadata_node_with_id(
+            int(ids_arr[i]),
+            {
+                "cat": str(cats[i]),
+                "price": float(prices[i]),
+                "count": int(counts[i]),
+                "flag": bool(flags[i]),
+            },
+        )
+        for i in range(n)
+    ]
+    a.add_batch(nodes)
+    b.add_columns(
+        ids_arr, {"cat": cats, "price": prices, "count": counts, "flag": flags}
+    )
+    filters = (
+        eq("cat", "y"),
+        _gt("price", 50),
+        _lte("count", 0),
+        eq("count", int(counts[7])),
+        eq("flag", True),
+        exists("price"),
+        not_exists("missing"),
+    )
+    for f in filters:
+        ra = sorted(r.id for r in a.new_search().with_filters(f).execute())
+        rb = sorted(r.id for r in b.new_search().with_filters(f).execute())
+        assert ra == rb, f
+    assert a.count() == b.count() == n
+
+
+def test_add_columns_nan_is_missing():
+    mi = RoaringMetadataIndex()
+    mi.add_columns(
+        [1, 2, 3],
+        {"score": np.array([1.5, np.nan, 3.0])},
+    )
+    got = sorted(r.id for r in mi.new_search().with_filters(exists("score")).execute())
+    assert got == [1, 3]
+    missing = sorted(
+        r.id for r in mi.new_search().with_filters(not_exists("score")).execute()
+    )
+    assert missing == [2]
+
+
+def test_add_columns_length_mismatch():
+    mi = RoaringMetadataIndex()
+    with pytest.raises(InvalidConfigError):
+        mi.add_columns([1, 2], {"x": [1, 2, 3]})
