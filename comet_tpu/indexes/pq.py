@@ -165,12 +165,17 @@ class PQIndex(BaseVectorIndex):
             if len(id_arr) != len(vectors):
                 raise InvalidConfigError("ids and vectors length mismatch")
         prepped = preprocess(vectors, self._distance_kind)
-        codes = np.asarray(
-            pq_encode(
-                jnp.asarray(prepped.reshape(len(prepped), self._m, self._dsub)),
-                jnp.asarray(self._codebooks),
-            )
-        )
+        # Streamed chunked encode: all chunks dispatched before any result
+        # is collected, so uploads overlap device compute (ops/adc.py).
+        from comet_tpu.ops.adc import stream_device_map
+
+        cb_dev = jnp.asarray(self._codebooks)
+        m = self._m
+
+        def encode_chunk(chunk):
+            return pq_encode(chunk.reshape(chunk.shape[0], m, -1), cb_dev)
+
+        codes = stream_device_map(encode_chunk, prepped, chunk_rows=1 << 17)
         with self._lock:
             for i in id_arr.tolist():
                 if self._store.contains(i):

@@ -55,6 +55,63 @@ def pq_encode(vectors: jax.Array, codebooks: jax.Array) -> jax.Array:
     return jnp.argmin(dist, axis=2).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("kind",))
+def ivfpq_assign_encode(
+    chunk: jax.Array,       # [B, d] f32 preprocessed
+    centroids: jax.Array,   # [nlist, d] f32
+    codebooks: jax.Array,   # [M, Ksub, dsub] f32
+    kind,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused IVFPQ ingest: coarse assignment + residual + PQ encode in ONE
+    device call, so bulk add uploads each vector exactly once (the split
+    host path re-uploaded the full residual matrix — 512 MB at 1M x 128 —
+    through the ~45 MB/s tunnel). Matches find_nearest_centroid +
+    host-residual + pq_encode bit-for-bit (same ops, same order).
+    Returns (assign [B] i32, codes [B, M] i32)."""
+    from comet_tpu.ops.distance import pairwise_scores
+
+    dist = pairwise_scores(chunk, centroids, kind)
+    assign = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    resid = chunk - centroids[assign]
+    m = codebooks.shape[0]
+    codes = pq_encode(resid.reshape(chunk.shape[0], m, -1), codebooks)
+    return assign, codes
+
+
+def stream_device_map(fn, arrays, chunk_rows: int, out_np=True):
+    """Run `fn(chunk_dev)` over row-chunks of a host array with all chunks
+    dispatched before any result is collected, so uploads, compute, and
+    downloads overlap through the tunnel. The final partial chunk is
+    zero-padded to `chunk_rows` (ONE compiled shape) and the pad rows are
+    sliced off the results. Returns the per-chunk outputs concatenated on
+    axis 0 (numpy when out_np)."""
+    n = arrays.shape[0]
+    if n < chunk_rows:
+        # pow2 bucket so small batches neither recompile per size nor pad
+        # (and upload) the full chunk width
+        chunk_rows = 1 << max(int(n - 1).bit_length(), 3)
+    handles = []
+    for lo in range(0, n, chunk_rows):
+        chunk = arrays[lo: lo + chunk_rows]
+        real = len(chunk)
+        if real < chunk_rows:
+            padded = np.zeros((chunk_rows,) + chunk.shape[1:], chunk.dtype)
+            padded[:real] = chunk
+            chunk = padded
+        handles.append((fn(jnp.asarray(chunk)), real))
+    outs = None
+    for dev, real in handles:
+        host = jax.device_get(dev)
+        host = tuple(h[:real] for h in (host if isinstance(host, tuple) else (host,)))
+        if outs is None:
+            outs = tuple([h] for h in host)
+        else:
+            for acc, h in zip(outs, host):
+                acc.append(h)
+    cat = tuple(np.concatenate(acc, axis=0) for acc in outs)
+    return cat if len(cat) > 1 else cat[0]
+
+
 @jax.jit
 def pq_decode(codes: jax.Array, codebooks: jax.Array) -> jax.Array:
     """Reconstruct approximate vectors: [B, M] codes -> [B, M*dsub].
