@@ -120,7 +120,8 @@ def make_sharded_kmeans_step(mesh: Mesh, kind: DistanceKind):
 
 
 def make_sharded_ivf_search(
-    mesh: Mesh, k: int, kind: DistanceKind, nprobe: int, tile: int
+    mesh: Mesh, k: int, kind: DistanceKind, nprobe: int, tile: int,
+    coarse_kind: DistanceKind | None = None,
 ):
     """Build a jitted sharded IVF search step (SURVEY §5.8 / VERDICT r1 #8).
 
@@ -140,11 +141,13 @@ def make_sharded_ivf_search(
       -> (scores [Q, k], global_slots [Q, k]) replicated.
     """
 
+    ckind = coarse_kind if coarse_kind is not None else kind
+
     def local(queries, corpus, sqnorms, assign, valid, centroids, threshold):
         q = queries.shape[0]
         nlist = centroids.shape[0]
         n_local = corpus.shape[0]
-        cd = pairwise_scores(queries, centroids, kind)   # [Q, nlist]
+        cd = pairwise_scores(queries, centroids, ckind)  # [Q, nlist]
         _, probes = lax.top_k(-cd, nprobe)               # ties -> lower id
         ptab = (
             jnp.zeros((q, nlist), bool)
@@ -281,7 +284,7 @@ class ShardedIVFSearcher:
         valid = np.zeros(n_pad, dtype=bool)
         valid[:n] = store.valid[:n]
         self.mesh = mesh
-        self.kind = ivf_index.distance_kind
+        self.kind = ivf_index.distance_kind()
         self.n = n
         self.n_pad = n_pad
         self.tile = min(tile, shard)
@@ -314,6 +317,129 @@ class ShardedIVFSearcher:
         fn = self._search_fns.get((k, nprobe))
         if fn is None:
             fn = make_sharded_ivf_search(self.mesh, k, self.kind, nprobe, self.tile)
+            self._search_fns[(k, nprobe)] = fn
+        s, i = fn(
+            jnp.asarray(queries), self.corpus, self.sqnorms, self.assign,
+            self._valid_for(allowed), self.centroids,
+            jnp.asarray(np.float32(np.inf)),
+        )
+        return np.asarray(s), np.asarray(i)
+
+
+class ShardedPQSearcher:
+    """Multi-chip PQ serving: decoded reconstructions sharded over the mesh.
+
+    ADC distance is exactly L2 to the PQ reconstruction (see
+    `IVFPQIndex._device_dense`'s proof; pq_index_search.go:243-306 is the
+    scalar-LUT equivalent), so sharded PQ search IS a sharded flat L2 scan
+    over the decoded corpus — codes stay the authoritative storage; the
+    reconstruction is a per-shard search-time cache. Queries are
+    preprocessed for the SOURCE index's metric (cosine normalizes), then
+    scanned with sqrt-L2 like the single-device PQ path.
+    """
+
+    def __init__(self, mesh: Mesh, pq_index, tile: int = 1 << 14):
+        from comet_tpu.indexes.pq import PQIndex
+        from comet_tpu.ops.adc import pq_decode
+
+        assert isinstance(pq_index, PQIndex) and pq_index.trained
+        store = pq_index._store
+        n = store.n
+        rec = np.array(
+            pq_decode(
+                jnp.asarray(pq_index._codes[:n]),
+                jnp.asarray(pq_index._codebooks),
+            )
+        )
+        rec[~store.valid[:n]] = 0.0
+        self._flat = ShardedFlatSearcher(mesh, rec, DistanceKind.L2, tile)
+        self._flat._valid_host[:n] = store.valid[:n]
+        self._flat.valid = shard_rows(mesh, self._flat._valid_host)
+        self._query_kind = pq_index.distance_kind()
+        self.n = n
+        self.row_ids = store.ids[:n].copy()
+
+    def search(self, queries: np.ndarray, k: int, allowed: np.ndarray | None = None):
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        queries = preprocess(queries, self._query_kind)
+        return self._flat.search(queries, k, allowed=allowed)
+
+
+class ShardedIVFPQSearcher:
+    """Multi-chip IVFPQ serving: reconstructed rows + assignments sharded,
+    centroids/codebooks replicated.
+
+    Same reconstruction identity as `ShardedPQSearcher`; the coarse probe
+    ranks centroids with the source index's metric while the fine scan runs
+    sqrt-L2 over reconstructions — the sharded twin of the single-device
+    dense path (`IVFPQIndex._search_launch` use_dense), merged with one
+    `all_gather` over ICI.
+    """
+
+    def __init__(self, mesh: Mesh, ivfpq_index, tile: int = 1 << 14):
+        from comet_tpu.indexes.ivfpq import IVFPQIndex
+        from comet_tpu.ops.adc import pq_decode
+
+        assert isinstance(ivfpq_index, IVFPQIndex) and ivfpq_index.trained
+        store = ivfpq_index._store
+        n = store.n
+        n_dev = mesh.devices.size
+        assign_np = ivfpq_index._assign[:n].astype(np.int32)
+        rec = np.asarray(
+            pq_decode(
+                jnp.asarray(ivfpq_index._codes[:n]),
+                jnp.asarray(ivfpq_index._codebooks),
+            )
+        ) + ivfpq_index._centroids[np.maximum(assign_np, 0)]
+        shard = max(-(-n // n_dev), 1)
+        n_pad = shard * n_dev
+        dim = rec.shape[1]
+        pad = np.zeros((n_pad, dim), dtype=np.float32)
+        pad[:n] = rec
+        assign = np.full(n_pad, -1, dtype=np.int32)
+        assign[:n] = assign_np
+        valid = np.zeros(n_pad, dtype=bool)
+        valid[:n] = store.valid[:n]
+        pad[~valid] = 0.0
+        self.mesh = mesh
+        self.kind = DistanceKind.L2          # fine scan over reconstructions
+        self._coarse_kind = ivfpq_index.distance_kind()
+        self._query_kind = ivfpq_index.distance_kind()
+        self.n = n
+        self.n_pad = n_pad
+        self.tile = min(tile, shard)
+        self.row_ids = store.ids[:n].copy()
+        self.centroids = jnp.asarray(ivfpq_index._centroids)
+        self._valid_host = valid
+        self.corpus, self.assign, self.valid = shard_rows(mesh, pad, assign, valid)
+        self.sqnorms = shard_rows(mesh, (pad * pad).sum(axis=1).astype(np.float32))
+        self._search_fns: dict[tuple[int, int], object] = {}
+
+    def _valid_for(self, allowed: np.ndarray | None):
+        if allowed is None:
+            return self.valid
+        mask = self._valid_host.copy()
+        mask[: self.n] &= np.asarray(allowed[: self.n], dtype=bool)
+        return shard_rows(self.mesh, mask)
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        nprobe: int | None = None,
+        allowed: np.ndarray | None = None,
+    ):
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        queries = preprocess(queries, self._query_kind)
+        nlist = self.centroids.shape[0]
+        nprobe = int(nprobe) if nprobe else max(int(round(nlist**0.5)), 1)
+        nprobe = min(nprobe, nlist)
+        fn = self._search_fns.get((k, nprobe))
+        if fn is None:
+            fn = make_sharded_ivf_search(
+                self.mesh, k, self.kind, nprobe, self.tile,
+                coarse_kind=self._coarse_kind,
+            )
             self._search_fns[(k, nprobe)] = fn
         s, i = fn(
             jnp.asarray(queries), self.corpus, self.sqnorms, self.assign,
@@ -397,7 +523,10 @@ class ShardedHybridSearcher:
             )
             kw = (
                 {"nprobe": nprobes}
-                if nprobes and isinstance(self._vector, ShardedIVFSearcher)
+                if nprobes
+                and isinstance(
+                    self._vector, (ShardedIVFSearcher, ShardedIVFPQSearcher)
+                )
                 else {}
             )
             v_sc, v_slots = self._vector.search(vectors, k, allowed=allowed, **kw)

@@ -89,6 +89,95 @@ def test_sharded_ivf_respects_allowed_mask(rng):
     assert (slots[hit] < n // 2).all()
 
 
+def test_sharded_pq_matches_single_device(rng):
+    """Sharded PQ (reconstructions row-sharded, flat sqrt-L2 scan) returns
+    the single-device PQIndex's results."""
+    from comet_tpu.indexes.pq import PQIndex
+    from comet_tpu.parallel.sharded import ShardedPQSearcher
+
+    mesh = make_corpus_mesh()
+    n, d, k, m = 2048, 16, 10, 4
+    corpus = rng.normal(size=(n, d)).astype(np.float32)
+    queries = rng.normal(size=(6, d)).astype(np.float32)
+    ids = np.arange(1, n + 1, dtype=np.uint32)
+
+    idx = PQIndex(d, DistanceKind.L2, m=m, nbits=6)
+    idx.train(corpus[:1024])
+    idx.add_batch(corpus, ids=ids)
+
+    sharded = ShardedPQSearcher(mesh, idx, tile=128)
+    want_ids, want_sc = idx.search_batch(queries, k=k)
+    s, slots = sharded.search(queries, k)
+    got_ids = sharded.row_ids[np.clip(slots, 0, n - 1)]
+    np.testing.assert_array_equal(got_ids, want_ids)
+    np.testing.assert_allclose(s, want_sc, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_ivfpq_matches_single_device(rng):
+    """Sharded IVFPQ (reconstructions + assignments sharded, coarse probe
+    replicated) returns the single-device IVFPQIndex's results."""
+    from comet_tpu.indexes.ivfpq import IVFPQIndex
+    from comet_tpu.parallel.sharded import ShardedIVFPQSearcher
+
+    mesh = make_corpus_mesh()
+    n, d, k, nlist, m = 2048, 16, 10, 16, 4
+    corpus = rng.normal(size=(n, d)).astype(np.float32)
+    queries = rng.normal(size=(5, d)).astype(np.float32)
+    ids = np.arange(1, n + 1, dtype=np.uint32)
+
+    idx = IVFPQIndex(d, DistanceKind.L2, nlist=nlist, m=m, nbits=6)
+    idx.train(corpus[:1024])
+    idx.add_batch(corpus, ids=ids)
+
+    sharded = ShardedIVFPQSearcher(mesh, idx, tile=128)
+    for nprobe in (2, 16):
+        want_ids, want_sc = idx.search_batch(queries, k=k, nprobes=nprobe)
+        s, slots = sharded.search(queries, k, nprobe=nprobe)
+        got_ids = sharded.row_ids[np.clip(slots, 0, n - 1)]
+        np.testing.assert_array_equal(got_ids, want_ids)
+        np.testing.assert_allclose(s, want_sc, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_ivfpq_allowed_mask_and_deletes(rng):
+    from comet_tpu.indexes.ivfpq import IVFPQIndex
+    from comet_tpu.parallel.sharded import ShardedIVFPQSearcher
+
+    mesh = make_corpus_mesh()
+    n, d, nlist, m = 1024, 8, 8, 4
+    corpus = rng.normal(size=(n, d)).astype(np.float32)
+    queries = rng.normal(size=(3, d)).astype(np.float32)
+    idx = IVFPQIndex(d, DistanceKind.L2, nlist=nlist, m=m, nbits=6)
+    idx.train(corpus)
+    idx.add_batch(corpus, ids=np.arange(1, n + 1, dtype=np.uint32))
+    for doc in range(1, 11):
+        idx.remove(doc)  # soft-deleted rows must not surface
+    sharded = ShardedIVFPQSearcher(mesh, idx, tile=64)
+    allowed = np.zeros(n, dtype=bool)
+    allowed[: n // 2] = True
+    _, slots = sharded.search(queries, 20, nprobe=nlist, allowed=allowed)
+    hit = slots != np.iinfo(np.int32).max
+    assert hit.any()
+    assert (slots[hit] >= 10).all() and (slots[hit] < n // 2).all()
+
+
+def test_sharded_hybrid_with_ivfpq_vector(rng):
+    """ShardedHybridSearcher drives an IVFPQ vector modality end-to-end."""
+    from comet_tpu.indexes.ivfpq import IVFPQIndex
+    from comet_tpu.parallel.sharded import ShardedIVFPQSearcher
+
+    mesh = make_corpus_mesh()
+    n, d = 512, 8
+    corpus = rng.normal(size=(n, d)).astype(np.float32)
+    idx = IVFPQIndex(d, DistanceKind.L2, nlist=8, m=4, nbits=6)
+    idx.train(corpus)
+    idx.add_batch(corpus, ids=np.arange(1, n + 1, dtype=np.uint32))
+    sharded_vec = ShardedIVFPQSearcher(mesh, idx, tile=64)
+    hy = ShardedHybridSearcher(sharded_vec, sharded_vec.row_ids)
+    out = hy.search_batch(vectors=corpus[:3] + 0.01, k=5, nprobes=8)
+    assert len(out) == 3
+    assert all(len(row) == 5 for row in out)
+
+
 def _build_hybrid_corpus(rng, n, d):
     from comet_tpu.core.node import new_metadata_node_with_id
     from comet_tpu.indexes.bm25 import BM25SearchIndex
