@@ -50,6 +50,16 @@ class HybridSearchResult:
         return self.score
 
 
+class _SyncCollected:
+    """Marker wrapper for already-collected results from protocol-only
+    vector indexes (no launch/collect split available)."""
+
+    __slots__ = ("results",)
+
+    def __init__(self, results):
+        self.results = results
+
+
 @dataclass
 class _DocInfo:
     has_vector: bool = False
@@ -497,8 +507,12 @@ class HybridSearchBuilder:
             if candidates.is_empty():
                 return []
 
-        # STEP 2: vector search
-        vector_scores: dict[int, float] = {}
+        # STEP 2: LAUNCH the vector search (device arrays stay in flight
+        # while the text search scores on the host — the reference runs the
+        # steps strictly sequentially, hybrid_search_index.go:510-544; on a
+        # remote-attached TPU the overlap hides one full ~27 ms round-trip
+        # per query)
+        vs = v_state = None
         if self._vector_query is not None:
             if idx._vector is None:
                 raise InvalidConfigError(
@@ -519,10 +533,12 @@ class HybridSearchBuilder:
                 vs = vs.with_threshold(self._threshold)
             if candidates is not None:
                 vs = vs.with_document_ids(candidates)
-            for r in vs.execute():
-                vector_scores[r.get_id()] = float(r.get_score())
+            if hasattr(idx._vector, "_execute_launch"):
+                v_state = idx._vector._execute_launch(vs)
+            else:  # protocol-only index: fall back to synchronous execute
+                v_state = _SyncCollected(vs.execute())
 
-        # STEP 3: text search
+        # STEP 3: text search (overlaps the in-flight vector search)
         text_scores: dict[int, float] = {}
         if self._text_queries:
             if idx._text is None:
@@ -540,6 +556,16 @@ class HybridSearchBuilder:
                 ts = ts.with_document_ids(candidates)
             for r in ts.execute():
                 text_scores[r.get_id()] = float(r.get_score())
+
+        # collect the vector results (download completes here)
+        vector_scores: dict[int, float] = {}
+        if vs is not None:
+            if isinstance(v_state, _SyncCollected):
+                collected = v_state.results
+            else:
+                collected = idx._vector._execute_collect(vs, v_state)
+            for r in collected:
+                vector_scores[r.get_id()] = float(r.get_score())
 
         # STEP 4: fusion
         if vector_scores and text_scores:

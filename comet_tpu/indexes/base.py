@@ -393,6 +393,15 @@ class BaseVectorIndex:
         return out
 
     def _execute_search(self, builder: VectorSearchBuilder) -> list[VectorResult]:
+        state = self._execute_launch(builder)
+        return self._execute_collect(builder, state)
+
+    def _execute_launch(self, builder: VectorSearchBuilder):
+        """Validate + submit the fluent search; the returned opaque state
+        may hold in-flight device arrays (collect with _execute_collect).
+        Lets callers (the hybrid coordinator) overlap the device round-trip
+        with host-side work — the reference runs its hybrid steps strictly
+        sequentially (hybrid_search_index.go:477-615)."""
         if not builder._queries and not builder._node_ids:
             raise InvalidConfigError("must specify either queries or node IDs")
 
@@ -403,12 +412,18 @@ class BaseVectorIndex:
             if builder._node_ids:
                 queries.extend(self._lookup_node_vectors(builder._node_ids))
             if not queries:
-                return []
+                return None
             qarr = np.stack(queries).astype(np.float32)
+            return self._search_launch(qarr, builder)
 
-            # Index-specific batched search: [Q, k_eff] ids/scores with
-            # id == INVALID_ID marking empty slots.
-            ids, scores = self._search_batch(qarr, builder)
+    def _execute_collect(
+        self, builder: VectorSearchBuilder, state
+    ) -> list[VectorResult]:
+        if state is None:
+            return []
+        # Index-specific batched search: [Q, k_eff] ids/scores with
+        # id == INVALID_ID marking empty slots.
+        ids, scores = self._search_collect(state)
 
         flat_ids = ids.reshape(-1)
         flat_scores = scores.reshape(-1)
