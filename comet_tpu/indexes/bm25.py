@@ -623,17 +623,35 @@ class BM25SearchBuilder:
             doc_filter = DocumentFilter(self._document_ids)
             all_ids: list[np.ndarray] = []
             all_scores: list[np.ndarray] = []
-            for q in queries:
-                ids, scores = self._index._search_single(q, doc_filter)
-                if ids.size == 0:
-                    continue
-                # per-query top-k BEFORE aggregation (parity with
-                # searchSingleQuery returning k results per query)
-                if 0 < self._k < ids.size:
-                    order = np.lexsort((ids, -scores))[: self._k]
-                    ids, scores = ids[order], scores[order]
-                all_ids.append(ids)
-                all_scores.append(scores)
+            native_out = (
+                self._index._native_search_batch(
+                    queries, self._k, self._document_ids
+                )
+                if self._k > 0 and self._index._num_docs > 0
+                else None
+            )
+            if native_out is not None:
+                # C kernel: per-query top-k with the same (score desc,
+                # id asc) tie order as the lexsort below
+                from comet_tpu.indexes.base import INVALID_ID
+
+                for row_i, row_s in zip(*native_out):
+                    hit = row_i != INVALID_ID
+                    if hit.any():
+                        all_ids.append(row_i[hit])
+                        all_scores.append(row_s[hit])
+            else:
+                for q in queries:
+                    ids, scores = self._index._search_single(q, doc_filter)
+                    if ids.size == 0:
+                        continue
+                    # per-query top-k BEFORE aggregation (parity with
+                    # searchSingleQuery returning k results per query)
+                    if 0 < self._k < ids.size:
+                        order = np.lexsort((ids, -scores))[: self._k]
+                        ids, scores = ids[order], scores[order]
+                    all_ids.append(ids)
+                    all_scores.append(scores)
 
         if not all_ids:
             return []

@@ -49,11 +49,11 @@ def _build() -> bool:
 
 def _load():
     global _lib
+    if os.environ.get("COMET_NO_NATIVE"):
+        return None
     if _lib is not None:
         return _lib
     if _stale():
-        if os.environ.get("COMET_NO_NATIVE"):
-            return None
         if not _build():
             return None
     try:
