@@ -182,6 +182,53 @@ def _compact_up(arrs, dead):
     return arrs, live_count
 
 
+def _merge_bitonic_multi(arrs, less):
+    """Bitonic MERGE of [asc-sorted upper | desc-sorted lower] -> full
+    ascending sort. The concatenation of an ascending and a descending
+    sorted run is bitonic, so log2(C) compare-exchange stages finish the
+    sort — ~1.7x fewer row-stages than re-sorting from scratch."""
+    c = arrs[0].shape[0]
+    asc = jnp.ones((c, 1), dtype=bool)
+    j = c // 2
+    while j >= 1:
+        arrs = _ce_multi(arrs, less, j, asc)
+        j //= 2
+    return arrs
+
+
+def _sorted_concat_merge(sorted_arrs, new_arrs, less, pads):
+    """Merge an ALREADY-ASC-SORTED [r, L] block with an unsorted [e, L]
+    block into one fully sorted [C, L] result (C = next pow2 of r+e).
+
+    Sorts only the new block (descending, pads first) then bitonic-merges.
+    Requires C - r to be a power of two (holds for every shipped (ef, ew)
+    combination); falls back to a full sort otherwise.
+    """
+    L = sorted_arrs[0].shape[1]
+    r = sorted_arrs[0].shape[0]
+    e = new_arrs[0].shape[0]
+    c = _next_pow2(r + e)
+    pad = c - r - e
+    lower = tuple(
+        jnp.concatenate(
+            [n] + ([jnp.full((pad, L), p, n.dtype)] if pad else []), axis=0
+        )
+        for n, p in zip(new_arrs, pads)
+    )
+    low_rows = c - r
+    if low_rows & (low_rows - 1):  # not a power of two: full re-sort
+        allc = tuple(
+            jnp.concatenate([s, lo], axis=0)
+            for s, lo in zip(sorted_arrs, lower)
+        )
+        return _full_sort_multi(allc, less)
+    lower = _sort_chunks_multi(lower, less, low_rows, first_desc=True)
+    allc = tuple(
+        jnp.concatenate([s, lo], axis=0) for s, lo in zip(sorted_arrs, lower)
+    )
+    return _merge_bitonic_multi(allc, less)
+
+
 def _less_score_e(a, b):
     """(dist asc, slot asc, expanded desc): copies of the same node carry
     IDENTICAL (dist, slot) keys, so this order makes duplicates ADJACENT
@@ -207,26 +254,24 @@ def _phase_sortkill(bd, bs, be, nd, ns):
     """Sort beam+candidates by (score, slot, expanded-desc) and kill
     duplicate copies in place.
 
-    ONE full sort makes duplicate copies of a node ADJACENT (they carry
+    The sort makes duplicate copies of a node ADJACENT (they carry
     IDENTICAL (score, slot) keys — bf16 distances are reproduced
     bit-exactly on rediscovery), with the expanded copy first — so dedup
     is a single roll-and-compare, replacing the whole visited-set
-    machinery. Returns [c, L] arrays with killed rows as (inf, SENT)."""
+    machinery. The beam arrives ALREADY sorted ascending (loop invariant:
+    _phase_compact emits a stably-compacted slice of a sorted array, and
+    _search_init's beam is [entry, +inf...]), so only the new candidates
+    are sorted (descending) and one bitonic merge finishes the job.
+    Returns [c, L] arrays with killed rows as (inf, SENT)."""
     L = bd.shape[1]
-    ef = bd.shape[0]
     ew = nd.shape[0]
-    c = _next_pow2(ef + ew)
-    pad = c - ef - ew
-
-    d = jnp.concatenate([bd, nd], axis=0)
-    s = jnp.concatenate([bs, ns], axis=0)
-    e = jnp.concatenate([be, jnp.zeros((ew, L), jnp.int32)], axis=0)
-    if pad:
-        d = jnp.concatenate([d, jnp.full((pad, L), INF, jnp.float32)], axis=0)
-        s = jnp.concatenate([s, jnp.full((pad, L), SENT, jnp.int32)], axis=0)
-        e = jnp.concatenate([e, jnp.zeros((pad, L), jnp.int32)], axis=0)
-
-    d, s, e = _full_sort_multi((d, s, e), _less_score_e)
+    d, s, e = _sorted_concat_merge(
+        (bd, bs, be),
+        (nd, ns, jnp.zeros((ew, L), jnp.int32)),
+        _less_score_e,
+        pads=(INF, SENT, 0),
+    )
+    c = d.shape[0]
     prev = _roll_sub(s, 1)
     dup = (s == prev) & (s != SENT) & (_rows_iota(c) > 0)
     d = jnp.where(dup, INF, d)
@@ -282,22 +327,13 @@ def _phase_result_sortkill(rd, rs, nd, ns, adm):
     running (d, slot) set; duplicate re-admissions are killed adjacent
     (without this, copies of the best few nodes crowd every real result
     out of the window — measured recall@100 collapse to 0.07)."""
-    L = rd.shape[1]
-    kr = rd.shape[0]
-    ew = nd.shape[0]
     ad = jnp.where(adm != 0, nd, INF)
     asl = jnp.where(adm != 0, ns, SENT)
-    crp = _next_pow2(kr + ew)
-    rdall = jnp.concatenate([rd, ad], axis=0)
-    rsall = jnp.concatenate([rs, asl], axis=0)
-    if crp != kr + ew:
-        rdall = jnp.concatenate(
-            [rdall, jnp.full((crp - kr - ew, L), INF, jnp.float32)], axis=0
-        )
-        rsall = jnp.concatenate(
-            [rsall, jnp.full((crp - kr - ew, L), SENT, jnp.int32)], axis=0
-        )
-    rdall, rsall = _full_sort_multi((rdall, rsall), _less_score)
+    # running result set arrives sorted asc (same invariant as the beam)
+    rdall, rsall = _sorted_concat_merge(
+        (rd, rs), (ad, asl), _less_score, pads=(INF, SENT)
+    )
+    crp = rdall.shape[0]
     prevr = _roll_sub(rsall, 1)
     rdup = (rsall == prevr) & (rsall != SENT) & (_rows_iota(crp) > 0)
     rdall = jnp.where(rdup, INF, rdall)
