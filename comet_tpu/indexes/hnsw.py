@@ -115,6 +115,7 @@ class HNSWIndex(BaseVectorIndex):
             raise InvalidConfigError("efConstruction must be positive")
         cap = self._store.capacity
         self._levels = np.full(cap, -1, dtype=np.int32)
+        self._sqn0 = np.zeros(cap, dtype=np.float32)  # host sqnorm cache
         self._adj0 = np.full((cap, 2 * self._cfg.m), -1, dtype=np.int32)
         self._upper: dict[int, np.ndarray] = {}
         self._entry_slot = -1
@@ -176,6 +177,9 @@ class HNSWIndex(BaseVectorIndex):
         levels = np.full(cap, -1, dtype=np.int32)
         levels[: len(self._levels)] = self._levels
         self._levels = levels
+        sqn = np.zeros(cap, dtype=np.float32)
+        sqn[: len(self._sqn0)] = self._sqn0
+        self._sqn0 = sqn
         adj0 = np.full((cap, 2 * self._cfg.m), -1, dtype=np.int32)
         adj0[: len(self._adj0)] = self._adj0
         self._adj0 = adj0
@@ -249,29 +253,40 @@ class HNSWIndex(BaseVectorIndex):
 
     # -- host-side distance helpers -----------------------------------------
 
-    def _dist_rows(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-        """Pairwise-per-row distance a[i] vs b[i...]: a [n, d], b [n, m, d].
+    def _dist_rows_cmp(
+        self, a: np.ndarray, b: np.ndarray, bn: np.ndarray,
+        an: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """COMPARISON-ONLY pairwise-per-row scores a[i] vs b[i...]:
+        a [n, d], b [n, m, d], bn [n, m] = b's cached squared norms.
 
-        einsum, not matmul: np.matmul's batched tiny-gemv path is ~3x
-        slower here (per-batch BLAS call overhead); einsum's fused C loop
-        wins at these shapes (measured in the round-2 build profile)."""
+        Used only for argsort/argmin during construction and descent, so
+        L2 stays in the cheap squared domain (no sqrt/clamp) and the
+        [n, m, d] elementwise norm reduce — the single hottest line of the
+        round-2 build profile, ~1 ms/vector — is replaced by a [n, m]
+        gather from the `_sqn0` cache. einsum, not matmul: np.matmul's
+        batched tiny-gemv path is ~3x slower here (per-batch BLAS call
+        overhead)."""
         ip = np.einsum("nd,nmd->nm", a, b)
         if self._distance_kind == DistanceKind.COSINE:
             return 1.0 - np.clip(ip, -1.0, 1.0)
-        an = (a * a).sum(axis=1)[:, None]
-        bn = (b * b).sum(axis=2)
-        d = np.maximum(an + bn - 2 * ip, 0.0)
-        if self._distance_kind == DistanceKind.L2:
-            d = np.sqrt(d)
-        return d
+        if an is None:
+            an = (a * a).sum(axis=1)
+        return an[:, None] + bn - 2 * ip
 
     def _descend(self, queries: np.ndarray) -> np.ndarray:
         """Greedy descent through upper layers (vectorized over queries).
         Returns per-query layer-0 entry slots."""
         q = queries.shape[0]
         cur = np.full(q, self._entry_slot, dtype=np.int64)
+        qn = (queries * queries).sum(axis=1)
         ev = self._store.vectors[self._entry_slot][None, :]
-        cur_d = self._dist_rows(queries, np.broadcast_to(ev, (q, 1, self._dim)))[:, 0]
+        cur_d = self._dist_rows_cmp(
+            queries,
+            np.broadcast_to(ev, (q, 1, self._dim)),
+            np.broadcast_to(self._sqn0[self._entry_slot], (q, 1)),
+            an=qn,
+        )[:, 0]
         for level in range(self._max_level, 0, -1):
             adj = self._upper.get(level)
             if adj is None:
@@ -281,8 +296,9 @@ class HNSWIndex(BaseVectorIndex):
                 mask = neigh >= 0
                 if not mask.any():
                     break
-                nv = self._store.vectors[np.maximum(neigh, 0)]
-                nd = self._dist_rows(queries, nv)
+                safe = np.maximum(neigh, 0)
+                nv = self._store.vectors[safe]
+                nd = self._dist_rows_cmp(queries, nv, self._sqn0[safe], an=qn)
                 nd = np.where(mask, nd, np.inf)
                 best = nd.argmin(axis=1)
                 bd = nd[np.arange(q), best]
@@ -326,6 +342,7 @@ class HNSWIndex(BaseVectorIndex):
         self._ensure_device()
         levels = self._sample_levels(len(slots))
         self._levels[slots] = levels
+        self._sqn0[slots] = (prepped * prepped).sum(axis=1)
 
         for lo in range(0, len(slots), BUILD_SUB_BATCH):
             sub = slots[lo : lo + BUILD_SUB_BATCH]
@@ -570,8 +587,12 @@ class HNSWIndex(BaseVectorIndex):
         if over.any():
             rows_o = np.flatnonzero(over)
             cm_o = cand_mat[rows_o]
-            cv = self._store.vectors[np.maximum(cm_o, 0)]
-            d = self._dist_rows(self._store.vectors[uniq[rows_o]], cv)
+            safe = np.maximum(cm_o, 0)
+            cv = self._store.vectors[safe]
+            d = self._dist_rows_cmp(
+                self._store.vectors[uniq[rows_o]], cv, self._sqn0[safe],
+                an=self._sqn0[uniq[rows_o]],
+            )
             d = np.where(cm_o >= 0, d, np.inf)
             keep = np.argsort(d, axis=1, kind="stable")[:, :w0]
             adj[uniq[rows_o]] = np.take_along_axis(cm_o, keep, axis=1).astype(
@@ -608,6 +629,9 @@ class HNSWIndex(BaseVectorIndex):
             new_levels = np.full(old_cap, -1, dtype=np.int32)
             new_levels[:n_new] = self._levels[keep]
             self._levels = new_levels
+            new_sqn = np.zeros(old_cap, dtype=np.float32)
+            new_sqn[:n_new] = self._sqn0[keep]
+            self._sqn0 = new_sqn
             for lvl in list(self._upper):
                 self._upper[lvl] = remap_adj(self._upper[lvl], self._cfg.m)
 
@@ -824,10 +848,13 @@ class HNSWIndex(BaseVectorIndex):
             self._store = SlotStore(dim, capacity=max(n, 1))
             cap = self._store.capacity
             self._levels = np.full(cap, -1, dtype=np.int32)
+            self._sqn0 = np.zeros(cap, dtype=np.float32)
             self._adj0 = np.full((cap, 2 * m), -1, dtype=np.int32)
             self._upper = {}
             if n:
                 self._store.add_batch(ids.astype(np.uint32), vectors.astype(np.float32))
+                v32 = self._store.vectors[:n]
+                self._sqn0[:n] = (v32 * v32).sum(axis=1)
                 self._levels[:n] = levels
                 self._adj0[:n] = adj0
                 for lvl, arr in upper.items():
