@@ -182,6 +182,20 @@ def _cat_value(value) -> str:
     return str(value)
 
 
+_MISSING_SENTINEL = object()
+
+
+def _group_categorical(field: str, doc_ids: np.ndarray, sarr: np.ndarray):
+    """Group a string column by distinct value: yields one
+    ("field:value", sorted-doc-id-array) pair per unique value — the
+    vectorized replacement for per-document plane routing."""
+    uniq, inv = np.unique(sarr, return_inverse=True)
+    order = np.argsort(inv, kind="stable")
+    bounds = np.searchsorted(inv[order], np.arange(len(uniq) + 1))
+    for u in range(len(uniq)):
+        yield f"{field}:{uniq[u]}", doc_ids[order[bounds[u]: bounds[u + 1]]]
+
+
 # ---------------------------------------------------------------------------
 # Index
 # ---------------------------------------------------------------------------
@@ -218,43 +232,108 @@ class RoaringMetadataIndex:
                     )
 
     def add_batch(self, nodes: Iterable[MetadataNode]) -> None:
-        """Bulk insert: groups values per field and applies one vectorized
-        bitset/BSI update per plane (the reference and `add()` pay the
-        per-document per-bitplane cost; this path is ~20x faster at scale)."""
+        """Bulk insert: pivots the node batch into per-field COLUMNS, then
+        applies one vectorized bitset/BSI update per field/plane.
+
+        The reference (and `add()`) pay a per-document per-bitplane cost
+        (metadata_index.go:126-154); pivoting first makes the Python work
+        one list-comp per field and pushes everything else into numpy.
+        Columns that mix value kinds across documents (e.g. int in one doc,
+        str in another) fall back to per-value routing for that field.
+        Like the grouped path it replaces, all values are validated before
+        any plane is mutated."""
         nodes = list(nodes)
-        cat_groups: dict[str, list[int]] = {}
-        num_groups: dict[str, tuple[list[int], list[int]]] = {}
-        all_ids: list[int] = []
-        with self._lock:
-            for node in nodes:
-                doc_id = int(node.id)
-                all_ids.append(doc_id)
-                for key, value in node.metadata.items():
-                    if isinstance(value, bool):
-                        cat_groups.setdefault(f"{key}:{_cat_value(value)}", []).append(doc_id)
-                    elif isinstance(value, (int, float, np.integer, np.floating)):
-                        ids_vals = num_groups.setdefault(key, ([], []))
-                        ids_vals[0].append(doc_id)
-                        ids_vals[1].append(_to_fixed(value))
-                    elif isinstance(value, str):
-                        cat_groups.setdefault(f"{key}:{value}", []).append(doc_id)
-                    else:
+        if not nodes:
+            return
+        doc_ids = np.array([n.id for n in nodes], dtype=np.uint64)
+        metas = [n.metadata for n in nodes]
+        keys: dict[str, None] = {}
+        for m in metas:
+            for k in m:
+                keys[k] = None
+        # uniform schema (the common bulk shape: every node has every key)
+        # => no per-field missing-value scans at all
+        nkeys = len(keys)
+        uniform = all(len(m) == nkeys for m in metas)
+        _MISSING = _MISSING_SENTINEL
+        # classify every field's column first (validation before mutation)
+        num_ops: list[tuple[str, np.ndarray, np.ndarray]] = []
+        cat_ops: list[tuple[str, np.ndarray]] = []
+        for key in keys:
+            vals = [m.get(key, _MISSING) for m in metas]
+            if not uniform and any(v is _MISSING for v in vals):
+                present = np.fromiter(
+                    (v is not _MISSING for v in vals), dtype=bool, count=len(vals)
+                )
+                ids_k = doc_ids[present]
+                vals = [v for v in vals if v is not _MISSING]
+            else:
+                ids_k = doc_ids
+            # exact element-type routing (np.asarray alone would silently
+            # str-ify mixed int/str columns)
+            ts = set(map(type, vals))
+            numeric = all(issubclass(t, (int, float, np.integer, np.floating))
+                          and not issubclass(t, bool) for t in ts)
+            if numeric:
+                if any(issubclass(t, (float, np.floating)) for t in ts):
+                    arr = np.asarray(vals, dtype=np.float64)
+                    if np.isnan(arr).any():
+                        raise ValueError(
+                            f"cannot convert float NaN to integer (field {key!r})"
+                        )  # same failure as add()'s int(v*100)
+                    fixed = (arr * FIXED_POINT_SCALE).astype(np.int64)
+                else:
+                    fixed = np.asarray(vals, dtype=np.int64) * FIXED_POINT_SCALE
+                num_ops.append((key, ids_k, fixed))
+            elif all(issubclass(t, (str, np.str_)) for t in ts):
+                for plane_key, plane_ids in _group_categorical(
+                    key, ids_k, np.asarray(vals)
+                ):
+                    cat_ops.append((plane_key, plane_ids))
+            elif ts == {bool} or ts == {np.bool_}:
+                arr = np.asarray(vals, dtype=bool).astype("U5")  # "True"/"False"
+                for plane_key, plane_ids in _group_categorical(key, ids_k, arr):
+                    cat_ops.append((plane_key, plane_ids))
+            else:
+                # mixed/unsupported column: validate + route each value
+                for v in vals:
+                    if not isinstance(
+                        v, (bool, int, float, str, np.integer, np.floating, np.str_)
+                    ):
                         raise InvalidConfigError(
-                            f"unsupported type for key {key}: {type(value).__name__}"
+                            f"unsupported type for key {key}: {type(v).__name__}"
                         )
-            self._all_docs.add_many(np.asarray(all_ids, dtype=np.uint64))
-            for key, ids in cat_groups.items():
-                bs = self._categorical.get(key)
+                n_ids, n_vals, c_keys = [], [], {}
+                for doc_id, v in zip(ids_k.tolist(), vals):
+                    if isinstance(v, bool) or isinstance(v, (str, np.str_)):
+                        c_keys.setdefault(f"{key}:{_cat_value(v)}", []).append(doc_id)
+                    else:
+                        n_ids.append(doc_id)
+                        n_vals.append(_to_fixed(v))
+                if n_ids:
+                    num_ops.append(
+                        (
+                            key,
+                            np.asarray(n_ids, dtype=np.uint64),
+                            np.asarray(n_vals, dtype=np.int64),
+                        )
+                    )
+                for plane_key, plane_ids in c_keys.items():
+                    cat_ops.append(
+                        (plane_key, np.asarray(plane_ids, dtype=np.uint64))
+                    )
+        with self._lock:
+            self._all_docs.add_many(doc_ids)
+            for plane_key, plane_ids in cat_ops:
+                bs = self._categorical.get(plane_key)
                 if bs is None:
-                    bs = self._categorical[key] = Bitset()
-                bs.add_many(np.asarray(ids, dtype=np.uint64))
-            for field_name, (ids, vals) in num_groups.items():
+                    bs = self._categorical[plane_key] = Bitset()
+                bs.add_many(plane_ids)
+            for field_name, ids, fixed in num_ops:
                 bsi = self._numeric.get(field_name)
                 if bsi is None:
                     bsi = self._numeric[field_name] = BSI()
-                bsi.set_values(
-                    np.asarray(ids, dtype=np.uint64), np.asarray(vals, dtype=np.int64)
-                )
+                bsi.set_values(ids, fixed)
 
     def add_columns(self, doc_ids, columns: dict) -> None:
         """Columnar bulk insert: one numpy array per field.
@@ -298,15 +377,13 @@ class RoaringMetadataIndex:
                         raise InvalidConfigError(
                             f"unsupported column dtype for {field_name!r}: {arr.dtype}"
                         )
-                    uniq, inv = np.unique(sarr, return_inverse=True)
-                    order = np.argsort(inv, kind="stable")
-                    bounds = np.searchsorted(inv[order], np.arange(len(uniq) + 1))
-                    for u in range(len(uniq)):
-                        key = f"{field_name}:{uniq[u]}"
+                    for key, plane_ids in _group_categorical(
+                        field_name, doc_ids, sarr
+                    ):
                         bs = self._categorical.get(key)
                         if bs is None:
                             bs = self._categorical[key] = Bitset()
-                        bs.add_many(doc_ids[order[bounds[u]: bounds[u + 1]]])
+                        bs.add_many(plane_ids)
                     continue
                 bsi = self._numeric.get(field_name)
                 if bsi is None:
