@@ -244,7 +244,12 @@ def _chunk_topk(args, corpus_t, mask_vec, thr, k, kb, group, cosine,
         interpret=interpret,
     )
     gsel = gsel[0]  # [kb, TQ]
-    # gather the winning groups' member distances
+    # gather the winning groups' member distances. NOTE: a flat-row
+    # reformulation (jnp.take on [TQ*G, group] with q*G+g indices) wins
+    # 7x in a STANDALONE ablation but measured ~10% SLOWER end-to-end in
+    # interleaved 5-sample bench A/Bs (XLA fuses this take_along_axis into
+    # the surrounding pipeline; the flat take breaks that fusion) — keep
+    # the take_along_axis form, re-measure in context before changing.
     sel_q = gsel.T  # [TQ, kb]
     cand = jnp.take_along_axis(
         dist.reshape(TQ, G, group), sel_q[:, :, None], axis=1
