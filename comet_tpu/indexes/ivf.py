@@ -250,7 +250,8 @@ class IVFIndex(BaseVectorIndex):
                 f"{self._nlist} clusters (got {len(vectors)})"
             )
         prepped = preprocess(vectors, self._distance_kind)
-        centroids, _ = kmeans(prepped, self._nlist, self._distance_kind, max_iter)
+        centroids, _ = kmeans(prepped, self._nlist, self._distance_kind, max_iter,
+                              return_assign=False)
         with self._lock:
             self._centroids = centroids
             self._trained = True

@@ -45,7 +45,7 @@ from comet_tpu.indexes.base import (
 )
 from comet_tpu.io import serial
 from comet_tpu.ops.distance import DEFAULT_PRECISION, pairwise_scores, preprocess
-from comet_tpu.ops.kmeans import kmeans, kmeans_subspace
+from comet_tpu.ops.kmeans import kmeans, kmeans_ivfpq_train, kmeans_subspace
 from comet_tpu.ops.topk import IDX_SENTINEL, INF, merge_topk
 from comet_tpu.types import (
     DistanceKind,
@@ -237,12 +237,12 @@ class IVFPQIndex(BaseVectorIndex):
                 f"(nlist*10), got {len(vectors)}"
             )
         prepped = preprocess(vectors, self._distance_kind)
-        centroids, assign = kmeans(prepped, self._nlist, self._distance_kind, max_iter)
-        residuals = prepped - centroids[assign]
-        codebooks, _ = kmeans_subspace(
-            residuals.reshape(len(residuals), self._m, self._dsub),
-            self._ksub,
-            max_iter,
+        # Fused device path: one upload, coarse loop, device residuals,
+        # subspace loop (the split host-residual path re-uploaded the
+        # residual matrix — 2x the tunnel bytes; ivfpq_index.go:164-259)
+        centroids, codebooks = kmeans_ivfpq_train(
+            prepped, self._nlist, self._distance_kind,
+            self._m, self._ksub, max_iter,
         )
         with self._lock:
             self._centroids = centroids

@@ -135,7 +135,7 @@ class PQIndex(BaseVectorIndex):
             )
         prepped = preprocess(vectors, self._distance_kind)
         sub = prepped.reshape(len(prepped), self._m, self._dsub)
-        codebooks, _ = kmeans_subspace(sub, self._ksub, max_iter)
+        codebooks, _ = kmeans_subspace(sub, self._ksub, max_iter, return_assign=False)
         with self._lock:
             self._codebooks = codebooks
             self._trained = True

@@ -69,16 +69,19 @@ def _kmeans_step(
     return assign, sums, counts, changed
 
 
-def _pad_rows(x: np.ndarray, multiple: int) -> tuple[np.ndarray, np.ndarray]:
+
+
+@partial(jax.jit, static_argnames=("n_pad",))
+def _device_pad(x: jax.Array, n_pad: int) -> tuple[jax.Array, jax.Array]:
+    """Zero-pad [n, d] -> [n_pad, d] ON DEVICE and build the validity mask.
+
+    Training is TRANSFER-bound through the TPU tunnel (~20-45 MB/s), so
+    the tile padding must not cross the wire: uploading 100k raw rows and
+    padding to 131072 on device saves 31% of the upload at those shapes."""
     n = x.shape[0]
-    n_pad = ((n + multiple - 1) // multiple) * multiple
-    if n_pad == n:
-        return x, np.ones(n, dtype=bool)
-    out = np.zeros((n_pad, x.shape[1]), dtype=x.dtype)
-    out[:n] = x
-    valid = np.zeros(n_pad, dtype=bool)
-    valid[:n] = True
-    return out, valid
+    padded = jnp.zeros((n_pad, x.shape[1]), x.dtype).at[:n].set(x)
+    valid = jnp.arange(n_pad, dtype=jnp.int32) < n
+    return padded, valid
 
 
 def init_centroids(vectors: np.ndarray, k: int) -> np.ndarray:
@@ -126,9 +129,14 @@ def kmeans(
     k: int,
     kind: DistanceKind = DistanceKind.L2_SQUARED,
     max_iter: int = DEFAULT_MAX_ITER,
-) -> tuple[np.ndarray, np.ndarray]:
+    return_assign: bool = True,
+) -> tuple[np.ndarray, np.ndarray | None]:
     """Lloyd's k-means with reference-parity init/convergence/empty-cluster
-    rules. Returns (centroids [k, d] f32, assignments [n] int64)."""
+    rules. Returns (centroids [k, d] f32, assignments [n] int64).
+
+    return_assign=False skips the assignment download — training through
+    the TPU tunnel is TRANSFER-bound, and callers that only keep the
+    centroids (IVF/PQ train) shouldn't pay for the [n] int32 readback."""
     vectors = np.ascontiguousarray(np.asarray(vectors, dtype=np.float32))
     n = len(vectors)
     if n == 0 or k <= 0:
@@ -138,14 +146,17 @@ def kmeans(
         max_iter = DEFAULT_MAX_ITER
 
     tile = min(ASSIGN_TILE, 1 << (max(n - 1, 1)).bit_length())
-    x_pad, valid = _pad_rows(vectors, tile)
+    n_pad = ((n + tile - 1) // tile) * tile
+    x_dev, valid = _device_pad(jnp.asarray(vectors), n_pad)
 
     centroids, assign = _kmeans_loop(
-        jnp.asarray(x_pad), jnp.asarray(valid),
+        x_dev, valid,
         jnp.asarray(init_centroids(vectors, k)),
         kind, tile, int(max_iter),
     )
     cent_np = np.asarray(centroids)
+    if not return_assign:
+        return cent_np, None
     assign_np = np.asarray(assign)[:n].astype(np.int64)
     return cent_np, assign_np
 
@@ -202,7 +213,8 @@ def kmeans_subspace(
     vectors: np.ndarray,  # [n, M, dsub]
     k: int,
     max_iter: int = DEFAULT_MAX_ITER,
-) -> tuple[np.ndarray, np.ndarray]:
+    return_assign: bool = True,
+) -> tuple[np.ndarray, np.ndarray | None]:
     """Per-subspace k-means for PQ codebooks (clustering.go:112-115 forces
     L2^2), all M subspaces trained in LOCKSTEP on device — one batched
     einsum + segment-sum per iteration instead of M sequential k-means runs.
@@ -216,21 +228,71 @@ def kmeans_subspace(
         max_iter = DEFAULT_MAX_ITER
 
     tile = min(ASSIGN_TILE, 1 << (max(n - 1, 1)).bit_length())
+    n_pad = ((n + tile - 1) // tile) * tile
     flat = vectors.reshape(n, m * dsub)
-    x_pad2, valid = _pad_rows(flat, tile)
-    x_pad = x_pad2.reshape(-1, m, dsub)
+    x_dev2, valid = _device_pad(jnp.asarray(flat), n_pad)
+    x_dev = x_dev2.reshape(-1, m, dsub)
 
     # stride init per subspace (same rule as the scalar path)
     init = np.stack([init_centroids(vectors[:, s, :], k) for s in range(m)])
 
     codebooks, assign = _subspace_loop(
-        jnp.asarray(x_pad), jnp.asarray(valid), jnp.asarray(init),
+        x_dev, valid, jnp.asarray(init),
         tile, int(max_iter),
     )
+    if not return_assign:
+        return np.asarray(codebooks), None
     return (
         np.asarray(codebooks),
         np.asarray(assign)[:n].astype(np.int64),
     )
+
+
+@partial(jax.jit, static_argnames=("m", "k", "n"))
+def _residual_init(x_dev, centroids, assign, m: int, k: int, n: int):
+    """Device-side residuals + per-subspace stride init for the fused
+    IVFPQ train: resid = x - centroids[assign] (padded rows carry garbage,
+    masked by `valid` downstream), init row j = resid[j * (n//k)] in every
+    subspace — identical math to init_centroids on the host residuals."""
+    nlist = centroids.shape[0]
+    resid = x_dev - centroids[jnp.clip(assign, 0, nlist - 1)]
+    resid3 = resid.reshape(x_dev.shape[0], m, -1)
+    step = max(n // k, 1)
+    idx = jnp.minimum(jnp.arange(k, dtype=jnp.int32) * step, n - 1)
+    init = resid3[idx].transpose(1, 0, 2)  # [m, k, dsub]
+    return resid3, init
+
+
+def kmeans_ivfpq_train(
+    prepped: np.ndarray,   # [n, d] f32 preprocessed training vectors
+    nlist: int,
+    kind: DistanceKind,
+    m: int,
+    ksub: int,
+    max_iter: int = DEFAULT_MAX_ITER,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fused IVFPQ training: ONE upload of the training data, coarse Lloyd
+    loop, residual computation, and the lockstep subspace loop all on
+    device. The split path (ivfpq_index.go:164-259 trains coarse then PQ
+    on host-materialized residuals) re-uploads the residual matrix — 2x
+    the tunnel bytes, which dominates training wall time.
+    Returns (centroids [nlist, d], codebooks [m, ksub, dsub])."""
+    prepped = np.ascontiguousarray(np.asarray(prepped, dtype=np.float32))
+    n, d = prepped.shape
+    k = min(nlist, n)
+    ks = min(ksub, n)
+    if max_iter <= 0:
+        max_iter = DEFAULT_MAX_ITER
+    tile = min(ASSIGN_TILE, 1 << (max(n - 1, 1)).bit_length())
+    n_pad = ((n + tile - 1) // tile) * tile
+    x_dev, valid = _device_pad(jnp.asarray(prepped), n_pad)
+    centroids, assign = _kmeans_loop(
+        x_dev, valid, jnp.asarray(init_centroids(prepped, k)),
+        kind, tile, int(max_iter),
+    )
+    resid3, init = _residual_init(x_dev, centroids, assign, m, ks, n)
+    codebooks, _ = _subspace_loop(resid3, valid, init, tile, int(max_iter))
+    return np.asarray(centroids), np.asarray(codebooks)
 
 
 @partial(jax.jit, static_argnames=("tile", "max_iter"))
