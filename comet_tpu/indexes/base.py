@@ -77,6 +77,10 @@ class SlotStore:
     def add_batch(self, ids: np.ndarray, vectors: np.ndarray) -> np.ndarray:
         """Append preprocessed vectors; returns the assigned slots."""
         b = len(ids)
+        if b > 1 and len(np.unique(ids)) != b:
+            # callers check ids against the store; an intra-batch duplicate
+            # would otherwise corrupt id_to_slot (two live slots, one id)
+            raise InvalidConfigError("duplicate node IDs within batch")
         self._grow_to(self.n + b)
         slots = np.arange(self.n, self.n + b)
         self.vectors[slots] = vectors

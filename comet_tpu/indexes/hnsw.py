@@ -78,6 +78,10 @@ BUILD_PALLAS_ITERS = 96
 # the Pallas beam for construction experiments.
 PALLAS_BUILD = False
 BLOCKED_TABLE_BYTES_MAX = 9 << 30
+# An initial add_batch of at least this many vectors into an EMPTY index
+# takes the kNN bulk-build path (ops/graph_build.py) instead of
+# incremental insertion rounds.
+BULK_BUILD_MIN = 4096
 
 
 def _use_pallas_beam() -> bool:
@@ -336,18 +340,72 @@ class HNSWIndex(BaseVectorIndex):
         return self._store.vectors[slots]
 
     def _insert_preprocessed(self, id_arr: np.ndarray, prepped: np.ndarray) -> None:
-        """Batched insertion rounds (see module docstring)."""
+        """Batched insertion rounds (see module docstring); an initial bulk
+        load of an EMPTY index takes the kNN-derived bulk-build path
+        instead (ops/graph_build.py) — pure MXU work, ~30x the incremental
+        round throughput."""
+        was_empty = self._store.n == 0 and self._entry_slot < 0
         slots = self._store.add_batch(id_arr, prepped)
         self._grow_host()
-        self._ensure_device()
         levels = self._sample_levels(len(slots))
         self._levels[slots] = levels
         self._sqn0[slots] = (prepped * prepped).sum(axis=1)
 
+        if was_empty and len(slots) >= BULK_BUILD_MIN:
+            self._bulk_build(levels)
+            return
+        self._ensure_device()
         for lo in range(0, len(slots), BUILD_SUB_BATCH):
             sub = slots[lo : lo + BUILD_SUB_BATCH]
             sub_levels = levels[lo : lo + BUILD_SUB_BATCH]
             self._insert_round(np.asarray(sub), sub_levels)
+
+    def _bulk_build(self, levels: np.ndarray) -> None:
+        """Whole-graph construction by staged exact-kNN rounds (module
+        docstring of ops/graph_build.py). Only valid on a freshly-loaded
+        index: slots are [0, n) and `levels` covers them in slot order."""
+        from comet_tpu.ops.graph_build import BulkGraphBuilder
+
+        n = self._store.n
+        m = self._cfg.m
+        builder = BulkGraphBuilder(
+            self._store.vectors, n, self._distance_kind
+        )
+        self._adj0[:n] = builder.build_layer(None, m, 2 * m)[:n]
+
+        max_level = int(levels.max())
+        for lvl in range(1, max_level + 1):
+            members = np.flatnonzero(self._levels[:n] >= lvl).astype(np.int32)
+            self._ensure_level(lvl)
+            if len(members) < 2:
+                continue
+            adj = builder.build_layer(members, m, m)
+            self._upper[lvl][members] = adj[members]
+        dev = builder.device_mirror()
+
+        top = np.flatnonzero(self._levels[:n] == max_level)
+        self._entry_slot = int(top[0])
+        self._max_level = max_level
+        self._graph_version += 1
+
+        # install device mirrors directly: the kNN pass already uploaded
+        # the padded corpus, so only the adjacency moves host->device here
+        cap = self._store.capacity
+        if dev is not None and dev[0].shape[0] == cap:
+            self._dev_vectors, self._dev_sqnorms = dev
+            self._dev_adj0 = jnp.asarray(self._adj0)
+            self._dev_cap = cap
+            self._dev_valid_version = -1
+            self._dev_nbr_vecs = None
+            self._dev_nbr_sqn = None
+            if _use_pallas_beam() and self._blocked_fits():
+                from comet_tpu.ops.beam_kernel import build_blocked_tables
+
+                self._dev_nbr_vecs, self._dev_nbr_sqn = build_blocked_tables(
+                    self._dev_adj0, self._dev_vectors, self._dev_sqnorms
+                )
+        else:
+            self._dev_cap = 0  # force re-upload on next search
 
     def _insert_round(self, sub: np.ndarray, sub_levels: np.ndarray) -> None:
         cfg = self._cfg
