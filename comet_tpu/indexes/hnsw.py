@@ -349,7 +349,10 @@ class HNSWIndex(BaseVectorIndex):
         self._grow_host()
         levels = self._sample_levels(len(slots))
         self._levels[slots] = levels
-        self._sqn0[slots] = (prepped * prepped).sum(axis=1)
+        # einsum, not (p*p).sum: the squared temp allocates [n, d] fresh
+        # pages, which this environment's memory subsystem services at
+        # ~8 MB/s (measured 13s at 200k x 128) — the fused reduce is ~500x
+        self._sqn0[slots] = np.einsum("nd,nd->n", prepped, prepped)
 
         if was_empty and len(slots) >= BULK_BUILD_MIN:
             self._bulk_build(levels)
@@ -364,14 +367,21 @@ class HNSWIndex(BaseVectorIndex):
         """Whole-graph construction by staged exact-kNN rounds (module
         docstring of ops/graph_build.py). Only valid on a freshly-loaded
         index: slots are [0, n) and `levels` covers them in slot order."""
+        import os as _os
+        import time as _time
+
         from comet_tpu.ops.graph_build import BulkGraphBuilder
 
+        _timing = bool(_os.environ.get("COMET_BULK_TIMING"))
         n = self._store.n
         m = self._cfg.m
         builder = BulkGraphBuilder(
             self._store.vectors, n, self._distance_kind
         )
+        t0 = _time.perf_counter() if _timing else 0.0
         self._adj0[:n] = builder.build_layer(None, m, 2 * m)[:n]
+        if _timing:
+            print(f"  adj0 install: {_time.perf_counter() - t0:.2f}s", flush=True)
 
         max_level = int(levels.max())
         for lvl in range(1, max_level + 1):
@@ -390,6 +400,7 @@ class HNSWIndex(BaseVectorIndex):
 
         # install device mirrors directly: the kNN pass already uploaded
         # the padded corpus, so only the adjacency moves host->device here
+        t0 = _time.perf_counter() if _timing else 0.0
         cap = self._store.capacity
         if dev is not None and dev[0].shape[0] == cap:
             self._dev_vectors, self._dev_sqnorms = dev
@@ -406,6 +417,8 @@ class HNSWIndex(BaseVectorIndex):
                 )
         else:
             self._dev_cap = 0  # force re-upload on next search
+        if _timing:
+            print(f"  mirror install: {_time.perf_counter() - t0:.2f}s", flush=True)
 
     def _insert_round(self, sub: np.ndarray, sub_levels: np.ndarray) -> None:
         cfg = self._cfg

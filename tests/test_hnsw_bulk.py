@@ -202,24 +202,34 @@ def test_intra_batch_duplicate_ids_rejected():
 # -- selection heuristic unit semantics -------------------------------------
 
 
-def test_admit_greedy_diversity():
-    """Two near-identical close candidates: only the first admitted; a far
-    candidate in a fresh direction IS admitted (relative-neighborhood
-    rule)."""
-    # node at origin; candidates: c0=(1,0), c1=(1.05,0) (shadowed by c0),
-    # c2=(0,5) (far but diverse)
-    cand = np.array([[[1.0, 0.0], [1.05, 0.0], [0.0, 5.0]]], np.float32)
-    d_node = np.array([[1.0, 1.1025, 25.0]], np.float32)  # squared
-    slots = np.array([[10, 11, 12]], np.int32)
-    adm = gb._heuristic_admit_host(cand, d_node, slots, cosine=False)
-    assert adm.tolist() == [[True, False, True]]
+def test_finalize_rows_diversity_and_backfill():
+    """The fused finalize pass: a candidate shadowed by a nearer admitted
+    one is NOT admitted (relative-neighborhood rule) but backfills after
+    the admitted ones, in distance order."""
+    # node at origin; corpus rows: 0 unused, 1=(1,0) near, 2=(1.05,0)
+    # shadowed by 1, 3=(0,5) far but diverse
+    corpus = np.array(
+        [[9.0, 9.0], [1.0, 0.0], [1.05, 0.0], [0.0, 5.0]], np.float32
+    )
+    b = gb.BulkGraphBuilder(corpus, 4, DistanceKind.L2)
+    slots = np.array([[1, 2, 3]], np.int32)
+    dists = np.array([[1.0, 1.1025, 25.0]], np.float32)  # squared
+    ss, dd = b.finalize_rows(slots, dists, 3)
+    # admitted: 1 (first), 3 (diverse); backfill: 2
+    assert ss.tolist() == [[1, 3, 2]]
+
+    ss2, dd2 = b.finalize_rows(slots, dists, 2)
+    assert ss2.tolist() == [[1, 3]]
 
 
-def test_select_forward_backfill():
-    """Non-admitted candidates backfill in distance order after admitted."""
-    dists = np.array([[1.0, 2.0, 3.0, 4.0]], np.float32)
-    slots = np.array([[5, 6, 7, 8]], np.int32)
-    admitted = np.array([[True, False, False, True]])
-    sd, ss = gb._select_forward(dists, slots, admitted, 3)
-    assert ss.tolist() == [[5, 8, 6]]
-    assert sd.tolist() == [[1.0, 4.0, 2.0]]
+def test_finalize_rows_dedup_keeps_min_distance():
+    """Duplicate slots (forward edge + its reverse append, distances a
+    float apart) collapse to one entry with the smaller distance."""
+    corpus = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 2.0]], np.float32)
+    b = gb.BulkGraphBuilder(corpus, 3, DistanceKind.L2)
+    slots = np.array([[1, 1, 2]], np.int32)
+    dists = np.array([[1.0000001, 1.0, 4.0]], np.float32)
+    ss, dd = b.finalize_rows(slots, dists, 3)
+    assert ss.tolist() == [[1, 2, -1]]
+    assert abs(dd[0, 0] - 1.0) < 1e-6
+    assert not np.isfinite(dd[0, 2])
