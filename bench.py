@@ -208,8 +208,9 @@ def bench_all(corpus, queries, truth_ids, truth100=None):
     del idx
 
     # HNSW M=16 (baseline: build 5000s=200vec/s on 1M; ef50 2380QPS/93.4%@100).
-    # Benchmarked at 200k to keep the sweep under ~10 min; build rate is
-    # roughly scale-independent.
+    # Benchmarked at 200k (sweep budget); COMET_BENCH_HNSW_1M=1 adds a 1M
+    # build+search point. Iteration counts are the TPU beam's real work
+    # knob (HNSWConfig.search_iters); ef=256 beam + exact-entry matmul.
     n_hnsw = 200_000
     idx = HNSWIndex(DIM, DistanceKind.L2, HNSWConfig(m=16, ef_construction=128, ef_search=128))
     t0 = time.perf_counter()
@@ -219,14 +220,31 @@ def bench_all(corpus, queries, truth_ids, truth100=None):
     from comet_tpu.indexes.flat import FlatIndex as _F
     oracle = _F(DIM, DistanceKind.L2)
     oracle.add_batch(corpus[:n_hnsw], ids=IDS[:n_hnsw])
-    tr_ids, _ = oracle.search_batch(queries[:512], k=100)
-    for ef in (32, 64, 128, 200):
-        qps, ids = time_search(idx, queries[:512], 100, ef_search=ef)
+    tr_ids, _ = oracle.search_batch(queries, k=100)
+    for ef, iters in ((256, 16), (256, 24), (256, 32), (256, 48), (128, 0), (200, 0)):
+        idx.config.search_iters = iters
+        qps, ids = time_search(idx, queries, 100, ef_search=ef)
         r10 = recall(ids[:, :10], tr_ids[:, :10])
         r100 = recall(ids[:, :100], tr_ids)
-        log(f"hnsw ef={ef}: {qps:.1f} QPS, recall@10={r10:.3f}, recall@100={r100:.3f}")
-        results[f"hnsw_ef{ef}"] = (qps, r10, r100)
+        tag = f"ef={ef},iters={iters or 'auto'}"
+        log(f"hnsw {tag}: {qps:.1f} QPS, recall@10={r10:.3f}, recall@100={r100:.3f}")
+        results[f"hnsw_{tag}"] = (qps, r10, r100)
+    idx.config.search_iters = 0
     del idx, oracle
+
+    if os.environ.get("COMET_BENCH_HNSW_1M"):
+        idx = HNSWIndex(DIM, DistanceKind.L2, HNSWConfig(m=16, ef_construction=128))
+        t0 = time.perf_counter()
+        idx.add_batch(corpus, ids=IDS)
+        t_build = time.perf_counter() - t0
+        log(f"hnsw build(1M): {t_build:.1f}s ({N / t_build:.0f} vec/s)")
+        for iters in (24, 32, 48):
+            idx.config.search_iters = iters
+            qps, ids = time_search(idx, queries, 100, ef_search=256)
+            r100 = recall(ids[:, :100], truth_ids[:, :100])
+            log(f"hnsw-1M ef=256,iters={iters}: {qps:.1f} QPS, recall@100={r100:.3f}")
+            results[f"hnsw1m_iters{iters}"] = (qps, None, r100)
+        del idx
 
     # BM25 (baseline: 2000 docs/s index; 3-12 ms/query)
     rng = np.random.default_rng(1)

@@ -227,6 +227,11 @@ class FlatIndex(BaseVectorIndex):
                 cosine=cosine,
                 sqrt_out=self._distance_kind == DistanceKind.L2,
             )
+            # slice to the REQUESTED width on device: the tunnel download
+            # is the serving bottleneck (~20-45 MB/s), so the k_pad-k_eff
+            # padding columns are pure wire waste (k=100 pads to 128: -22%)
+            if k_eff < s.shape[1] or q_real < s.shape[0]:
+                s, i = s[:q_real, :k_eff], i[:q_real, :k_eff]
             # start the host copies now so a pipelined caller's next batch
             # computes while these results stream back over the tunnel
             try:

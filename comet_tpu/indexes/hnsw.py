@@ -93,11 +93,18 @@ def _use_pallas_beam() -> bool:
 @dataclass
 class HNSWConfig:
     """Graph parameters (DefaultHNSWConfig = (16, 200, 200),
-    hnsw_index.go:95-97)."""
+    hnsw_index.go:95-97).
+
+    search_iters bounds the lockstep beam's expansion iterations (the
+    TPU kernel's real work knob: total nodes expanded per query =
+    PALLAS_EXPAND * iters). 0 = derive from the padded ef
+    (2 * ef_pad / PALLAS_EXPAND, min 48) — the reference has no
+    equivalent because its beam is sequential (hnsw_index.go:565-629)."""
 
     m: int = 16
     ef_construction: int = 200
     ef_search: int = 200
+    search_iters: int = 0
 
 
 class HNSWIndex(BaseVectorIndex):
@@ -134,11 +141,14 @@ class HNSWIndex(BaseVectorIndex):
         self._dev_valid = None
         # neighborhood-blocked bf16 tables for the fused Pallas beam
         self._dev_nbr_vecs = None
-        self._dev_nbr_sqn = None
+        self._dev_aux = None
         # stacked upper-layer adjacency for device-side greedy descent
         self._graph_version = 0
         self._dev_upper = None
         self._dev_upper_version = -1
+        # level>=1 member tables for exact entry selection (search path)
+        self._dev_l1 = None
+        self._dev_l1_version = -1
 
     # -- contracts -----------------------------------------------------------
 
@@ -208,11 +218,11 @@ class HNSWIndex(BaseVectorIndex):
             self._dev_cap = cap
             self._dev_valid_version = -1
             self._dev_nbr_vecs = None
-            self._dev_nbr_sqn = None
+            self._dev_aux = None
             if _use_pallas_beam() and self._blocked_fits():
                 from comet_tpu.ops.beam_kernel import build_blocked_tables
 
-                self._dev_nbr_vecs, self._dev_nbr_sqn = build_blocked_tables(
+                self._dev_nbr_vecs, self._dev_aux = build_blocked_tables(
                     self._dev_adj0, self._dev_vectors, self._dev_sqnorms
                 )
 
@@ -249,8 +259,8 @@ class HNSWIndex(BaseVectorIndex):
         if self._dev_nbr_vecs is not None:
             from comet_tpu.ops.beam_kernel import update_blocked_rows
 
-            self._dev_nbr_vecs, self._dev_nbr_sqn = update_blocked_rows(
-                self._dev_nbr_vecs, self._dev_nbr_sqn,
+            self._dev_nbr_vecs, self._dev_aux = update_blocked_rows(
+                self._dev_nbr_vecs, self._dev_aux,
                 adj_rows_dev, adj_values,
                 self._dev_vectors, self._dev_sqnorms,
             )
@@ -408,11 +418,11 @@ class HNSWIndex(BaseVectorIndex):
             self._dev_cap = cap
             self._dev_valid_version = -1
             self._dev_nbr_vecs = None
-            self._dev_nbr_sqn = None
+            self._dev_aux = None
             if _use_pallas_beam() and self._blocked_fits():
                 from comet_tpu.ops.beam_kernel import build_blocked_tables
 
-                self._dev_nbr_vecs, self._dev_nbr_sqn = build_blocked_tables(
+                self._dev_nbr_vecs, self._dev_aux = build_blocked_tables(
                     self._dev_adj0, self._dev_vectors, self._dev_sqnorms
                 )
         else:
@@ -458,9 +468,8 @@ class HNSWIndex(BaseVectorIndex):
             cand_d, cand_s = beam_search_blocked(
                 jnp.asarray(vpad),
                 jnp.asarray(epad),
-                self._dev_adj0,
                 self._dev_nbr_vecs,
-                self._dev_nbr_sqn,
+                self._dev_aux,
                 self._dev_vectors,
                 self._dev_sqnorms,
                 self._dev_valid if self._dev_valid is not None
@@ -590,22 +599,42 @@ class HNSWIndex(BaseVectorIndex):
         self._dev_upper = jnp.asarray(np.stack(stack)) if stack else None
         self._dev_upper_version = self._graph_version
 
+    def _ensure_dev_l1(self) -> None:
+        """Device tables for exact entry selection: the level>=1 member
+        slots, their bf16 vectors TRANSPOSED for the entry matmul, and
+        squared norms — refreshed only when the graph changed."""
+        if (
+            self._dev_l1_version == self._graph_version
+            and self._dev_l1 is not None
+        ):
+            return
+        members = np.nonzero(self._levels[: self._store.capacity] >= 1)[0]
+        if len(members) == 0:
+            self._dev_l1 = None
+            self._dev_l1_version = self._graph_version
+            return
+        slots = jnp.asarray(members.astype(np.int32))
+        vecs_t = self._dev_vectors[slots].astype(jnp.bfloat16).T  # [d, M]
+        sqn = self._dev_sqnorms[slots]
+        self._dev_l1 = (vecs_t, sqn, slots)
+        self._dev_l1_version = self._graph_version
+
     def _descend_for_search(self, qc: np.ndarray):
-        """Per-query layer-0 entry slots; device descent for big batches
-        (the host per-hop einsums measured 60%+ of search time at Q=2048),
-        host numpy otherwise."""
+        """Per-query layer-0 entry slots: the EXACT nearest level>=1
+        member via one device matmul (ops/beam_kernel.nearest_entry). The
+        result stays ON DEVICE and chains into the beam dispatch, so entry
+        selection adds no host round-trip. Replaced lockstep greedy
+        descent, whose per-hop gathers dominated large-batch search time
+        (the per-level hop count is the WORST query's — lockstep)."""
         if self._max_level < 1 or not self._upper:
             return np.full(len(qc), self._entry_slot, dtype=np.int32)
-        if len(qc) < 512:
-            return self._descend(qc)
-        from comet_tpu.ops.graph import greedy_descend
+        from comet_tpu.ops.beam_kernel import nearest_entry
 
-        self._ensure_dev_upper()
-        entry = jnp.full(len(qc), self._entry_slot, jnp.int32)
-        return greedy_descend(
-            jnp.asarray(qc), entry, self._dev_upper,
-            self._dev_vectors, self._dev_sqnorms,
-        )
+        self._ensure_dev_l1()
+        if self._dev_l1 is None:
+            return np.full(len(qc), self._entry_slot, dtype=np.int32)
+        vecs_t, sqn, slots = self._dev_l1
+        return nearest_entry(jnp.asarray(qc), vecs_t, sqn, slots)
 
     def _ensure_level(self, level: int) -> None:
         if level not in self._upper:
@@ -723,14 +752,19 @@ class HNSWIndex(BaseVectorIndex):
     # -- search ---------------------------------------------------------------
 
     def _search_batch(self, queries: np.ndarray, builder: VectorSearchBuilder):
+        return self._search_collect(self._search_launch(queries, builder))
+
+    def _search_launch(self, queries: np.ndarray, builder: VectorSearchBuilder):
+        """Submit the batch; the returned handle holds IN-FLIGHT device
+        result arrays so search_stream / the hybrid coordinator can overlap
+        the next batch's upload+compute with this batch's download — the
+        remote-TPU tunnel otherwise serializes ~2 round-trips (~54 ms) of
+        fixed cost into every batch."""
         store = self._store
         n_slots = store.n
         q_in = queries.shape[0]
         if n_slots == 0 or self._entry_slot < 0:
-            return (
-                np.full((q_in, 0), INVALID_ID, dtype=np.uint32),
-                np.zeros((q_in, 0), dtype=np.float32),
-            )
+            return ("empty", q_in)
 
         k_eff = sanitize_k(builder._k, n_slots)
         ef = max(self._effective_ef(builder._ef_search), k_eff)
@@ -755,12 +789,11 @@ class HNSWIndex(BaseVectorIndex):
             or store.deleted > 0
         )
 
-        import jax
-
         if self._dev_nbr_vecs is not None:
-            scores, slots_np = self._pallas_search(
-                qpad, allowed, builder._threshold, ef_pad, k_pad, fused
+            chunks = self._pallas_launch(
+                qpad, allowed, builder._threshold, ef_pad, k_pad, fused, k_eff
             )
+            pallas = True
         else:
             chunks = []
             for q0 in range(0, qpad.shape[0], HNSW_QUERY_CHUNK):
@@ -783,14 +816,29 @@ class HNSWIndex(BaseVectorIndex):
                         fused,
                     )
                 )
-            chunks = jax.device_get(chunks)
-            scores = np.concatenate([s for s, _ in chunks])
-            slots_np = np.concatenate([i for _, i in chunks])
+            pallas = False
+        return ("hnsw", chunks, q_real, k_eff, pallas, store.ids)
+
+    def _search_collect(self, handle):
+        import jax
+
+        if handle[0] == "empty":
+            q_in = handle[1]
+            return (
+                np.full((q_in, 0), INVALID_ID, dtype=np.uint32),
+                np.zeros((q_in, 0), dtype=np.float32),
+            )
+        _, chunks, q_real, k_eff, pallas, ids_arr = handle
+        chunks = jax.device_get(chunks)
+        scores = np.concatenate([s for s, _ in chunks])
+        slots_np = np.concatenate([i for _, i in chunks])
+        if pallas:
+            scores = self._from_sq(scores)
 
         scores = scores[:q_real, :k_eff]
         slots_np = slots_np[:q_real, :k_eff]
         hit = slots_np != int(IDX_SENTINEL)
-        ids = np.where(hit, store.ids[np.where(hit, slots_np, 0)], INVALID_ID)
+        ids = np.where(hit, ids_arr[np.where(hit, slots_np, 0)], INVALID_ID)
         return ids.astype(np.uint32), scores
 
     def _sq_threshold(self, threshold: float) -> jnp.ndarray:
@@ -815,15 +863,16 @@ class HNSWIndex(BaseVectorIndex):
             return np.where(finite, scores * 0.5, scores)
         return scores
 
-    def _pallas_search(self, qpad, allowed, threshold, ef_pad, k_pad, fused):
+    def _pallas_launch(self, qpad, allowed, threshold, ef_pad, k_pad, fused,
+                       k_eff):
         """Fused-kernel path (ops/beam_kernel.py): blocked bf16 routing,
-        exact f32 rerank, squared-space thresholds."""
-        import jax
-
+        exact f32 rerank, squared-space thresholds. Returns the per-chunk
+        IN-FLIGHT device (scores, slots) pairs (squared-distance domain —
+        _search_collect maps them back with _from_sq)."""
         from comet_tpu.ops.beam_kernel import LANE, beam_search_blocked
 
         sq_thr = self._sq_threshold(threshold)
-        max_iters = max(2 * ef_pad // PALLAS_EXPAND, 48)
+        max_iters = self._cfg.search_iters or max(2 * ef_pad // PALLAS_EXPAND, 48)
         chunks = []
         for q0 in range(0, qpad.shape[0], PALLAS_QUERY_CHUNK):
             qc = qpad[q0 : q0 + PALLAS_QUERY_CHUNK]
@@ -834,28 +883,34 @@ class HNSWIndex(BaseVectorIndex):
                 grown[: qc.shape[0]] = qc
                 qc = grown
             entries = self._descend_for_search(qc)
-            chunks.append(
-                beam_search_blocked(
-                    jnp.asarray(qc),
-                    jnp.asarray(entries),
-                    self._dev_adj0,
-                    self._dev_nbr_vecs,
-                    self._dev_nbr_sqn,
-                    self._dev_vectors,
-                    self._dev_sqnorms,
-                    allowed,
-                    sq_thr,
-                    ef_pad,
-                    k_pad,
-                    PALLAS_EXPAND,
-                    max_iters,
-                    fused,
-                )
+            sd, ss = beam_search_blocked(
+                jnp.asarray(qc),
+                jnp.asarray(entries),
+                self._dev_nbr_vecs,
+                self._dev_aux,
+                self._dev_vectors,
+                self._dev_sqnorms,
+                allowed,
+                sq_thr,
+                ef_pad,
+                k_pad,
+                PALLAS_EXPAND,
+                max_iters,
+                fused,
             )
-        chunks = jax.device_get(chunks)
-        scores = np.concatenate([s for s, _ in chunks])
-        slots = np.concatenate([i for _, i in chunks])
-        return self._from_sq(scores), slots
+            # device-side slice to the requested width + async host copy:
+            # the tunnel download dominates large-batch serving, so padding
+            # columns are wire waste and the copy must overlap the next
+            # batch's compute (see flat.py:_search_launch)
+            if k_eff < sd.shape[1]:
+                sd, ss = sd[:, :k_eff], ss[:, :k_eff]
+            try:
+                sd.copy_to_host_async()
+                ss.copy_to_host_async()
+            except AttributeError:  # pragma: no cover
+                pass
+            chunks.append((sd, ss))
+        return chunks
 
     # -- serialization ----------------------------------------------------------
 

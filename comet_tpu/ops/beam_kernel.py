@@ -486,7 +486,7 @@ def _beam_merge_pallas(
 
 
 def beam_search_blocked(
-    queries, entry, adj, nbr_vecs, nbr_sqn, vectors, sqnorms,
+    queries, entry, nbr_vecs, aux, vectors, sqnorms,
     allowed, sq_thresh, ef, k, expand, max_iters, fused,
     use_pallas: bool = True,
 ):
@@ -498,40 +498,82 @@ def beam_search_blocked(
     beam_merge_step)."""
     if use_pallas:
         return _beam_search_jit(
-            queries, entry, adj, nbr_vecs, nbr_sqn, vectors, sqnorms,
+            queries, entry, nbr_vecs, aux, vectors, sqnorms,
             allowed, sq_thresh, ef, k, expand, max_iters, fused,
         )
     return _beam_search_cpu(
-        queries, entry, adj, nbr_vecs, nbr_sqn, vectors, sqnorms,
+        queries, entry, nbr_vecs, aux, vectors, sqnorms,
         allowed, sq_thresh, ef, k, expand, int(max_iters), fused,
     )
 
 
-def _gather_score(qb, qn, adj, nbr_vecs, nbr_sqn, nodes, ew):
-    """Expand `nodes`: gather blocked neighbor rows + score (bf16 dot,
-    f32 accumulate). Returns (nd, ns, ok) as [ew, Q] arrays."""
-    Q = qb.shape[0]
-    nc = jnp.maximum(nodes, 0)                          # [E, Q]
-    node_ok = nodes >= 0
-    neigh = jnp.where(node_ok[:, :, None], adj[nc], -1)  # [E, Q, W]
-    nv = nbr_vecs[nc]                                    # [E, Q, W, d]
-    nsq = nbr_sqn[nc]                                    # [E, Q, W]
-    # NOTE: the batch-matvec einsum looks MXU-hostile, and an isolated
-    # gather+score ablation indeed favors an elementwise multiply-reduce
-    # 1.6x (scripts/profile_merge2.py) — but in the FULL loop the einsum
-    # form measures ~11% faster end-to-end (XLA fuses the gather+einsum
-    # differently); keep the einsum.
-    ip = jnp.einsum(
-        "qd,eqwd->ewq", qb, nv, preferred_element_type=jnp.float32
-    )
-    nd = jnp.maximum(
-        qn[None, None, :] + nsq.transpose(0, 2, 1) - 2.0 * ip, 0.0
-    ).reshape(ew, Q)
-    neigh_t = neigh.transpose(0, 2, 1).reshape(ew, Q)
-    ok = neigh_t >= 0
-    nd = jnp.where(ok, nd, INF)
-    ns = jnp.where(ok, neigh_t, SENT)
-    return nd, ns, ok
+GROUP = 8  # queries sharing one MXU distance matmul (see _gather_score)
+
+
+def _aux_digits(cap: int) -> int:
+    """Base-128 digits needed to hold slot+1 for a cap-row table (each
+    digit is exact in bfloat16: integers 0..127)."""
+    ndig = 1
+    while (128 ** ndig) <= cap:
+        ndig += 1
+    return ndig
+
+
+def _aux_planes(adj_rows, nsq, cap: int):
+    """One bf16 aux row per node: [sqn | base-128 digit planes of slot+1]
+    ([R, (1+ndig)*W]). Folds the former separate adj (i32) and sqnorm
+    (f32) gathers into a single row-count-bound gather; -1 padding encodes
+    as 0. sqn rides bf16 — routing distances are bf16-domain anyway and
+    results are re-scored exactly in f32 (_search_finalize)."""
+    a1 = adj_rows + 1
+    planes = [nsq.astype(jnp.bfloat16)]
+    for i in range(_aux_digits(cap)):
+        planes.append(((a1 >> (7 * i)) & 127).astype(jnp.bfloat16))
+    return jnp.concatenate(planes, axis=1)
+
+
+def _gather_score(qb, qn, nbr_vecs, aux, nodes, ew):
+    """Expand `nodes` [E, Q]: TWO row-count-bound gathers (blocked bf16
+    neighbor vectors + the aux row) and a GROUPED distance matmul.
+
+    A per-query [1, d] x [d, W] matvec wastes 127/128 of the MXU's
+    systolic array, and profiling showed that einsum was the iteration's
+    single largest cost (~1.6 of 2.8 ms at E=8/Q=2048/W=32). Instead,
+    GROUP queries share one real [G, d] x [d, G*E*W] matmul and the
+    cross-query distance blocks are discarded by a diagonal extract —
+    G^2*E*W MXU flops for G*E*W useful distances, 44% faster end-to-end
+    (scripts/profile_gatherext.py). Returns (nd, ns, ok) as [ew, Q]."""
+    E, Q = nodes.shape
+    cap, W, d = nbr_vecs.shape
+    ndig = aux.shape[1] // W - 1
+    g = GROUP
+    assert Q % g == 0, (Q, g)
+    ng = Q // g
+    nodes_t = nodes.T                                    # [Q, E]
+    node_ok = nodes_t >= 0
+    nc = jnp.maximum(nodes_t, 0)
+    nv = nbr_vecs[nc]                                    # [Q, E, W, d]
+    ar = aux[nc].astype(jnp.float32)                     # [Q, E, (1+ndig)W]
+    nsq = ar[..., :W].reshape(Q, ew)
+    a1 = ar[..., W:2 * W]
+    for i in range(1, ndig):
+        a1 = a1 + ar[..., (i + 1) * W:(i + 2) * W] * float(128 ** i)
+    neigh3 = a1.astype(jnp.int32) - 1                    # [Q, E, W]
+    ok3 = node_ok[:, :, None] & (neigh3 >= 0)
+    lhs = qb.reshape(ng, g, d)
+    rhs = nv.reshape(ng, g * ew, d)
+    ipg = jnp.einsum(
+        "gqd,gkd->gqk", lhs, rhs, preferred_element_type=jnp.float32
+    )                                                    # [ng, g, g*ew]
+    ipd = jnp.diagonal(
+        ipg.reshape(ng, g, g, ew), axis1=1, axis2=2
+    )                                                    # [ng, ew, g]
+    ip = ipd.transpose(0, 2, 1).reshape(Q, ew)
+    okf = ok3.reshape(Q, ew)
+    nd = jnp.maximum(qn[:, None] + nsq - 2.0 * ip, 0.0)
+    nd = jnp.where(okf, nd, INF).T                       # [ew, Q]
+    ns = jnp.where(okf, neigh3.reshape(Q, ew), SENT).T
+    return nd, ns, okf.T
 
 
 def _search_init(queries, entry, vectors, sqnorms, allowed, sq_thresh,
@@ -572,7 +614,11 @@ def _search_finalize(queries, qn, vectors, sqnorms, allowed, sq_thresh,
         cd, cs = res_d.T, res_s.T                         # [Q, kr]
     else:
         cd, cs = beam_d.T, beam_s.T                       # [Q, ef]
-    kk = min(max(2 * k, 64), cd.shape[1])
+    # Exact-rerank window: the gather below is row-count-bound (~29 ns/row
+    # on the v5e), so its width is real wall time at large Q — cap it at
+    # 1.28x k (e.g. 128 rows for k=100; measured no recall@100 change vs a
+    # 2x window, and ~40% off the finalize gather).
+    kk = min(max(2 * k, 64), max(_next_pow2(k), 64), cd.shape[1])
     sd, ss = lax.sort((cd, cs), dimension=1, num_keys=2)
     top_s = ss[:, :kk]
     tv = vectors[jnp.maximum(top_s, 0)]
@@ -603,18 +649,17 @@ def _search_finalize(queries, qn, vectors, sqnorms, allowed, sq_thresh,
     return sd2[:, :k], ss2[:, :k]
 
 
-def _beam_search_cpu(queries, entry, adj, nbr_vecs, nbr_sqn, vectors,
+def _beam_search_cpu(queries, entry, nbr_vecs, aux, vectors,
                      sqnorms, allowed, sq_thresh, ef, k, expand, max_iters,
                      fused):
     """Host-driven loop for the CPU/test backend; same math as
     _beam_search_jit, phases compiled as separate XLA modules."""
     queries = jnp.asarray(queries, jnp.float32)
     entry = jnp.asarray(entry, jnp.int32)
-    adj = jnp.asarray(adj)
     vectors = jnp.asarray(vectors, jnp.float32)
     sqnorms = jnp.asarray(sqnorms, jnp.float32)
     allowed = jnp.asarray(allowed)
-    cap, W = adj.shape
+    cap, W, _ = nbr_vecs.shape
     ew = expand * W
     kr = _next_pow2(max(2 * k, 64)) if fused else 0
     qn, qb, beam_d, beam_s, beam_e, nodes, res_d, res_s = _search_init(
@@ -622,7 +667,7 @@ def _beam_search_cpu(queries, entry, adj, nbr_vecs, nbr_sqn, vectors,
         ef, expand, fused, kr,
     )
     for _ in range(int(max_iters)):
-        nd, ns, ok = _gather_score(qb, qn, adj, nbr_vecs, nbr_sqn, nodes, ew)
+        nd, ns, ok = _gather_score(qb, qn, nbr_vecs, aux, nodes, ew)
         adm = None
         if fused:
             adm = (
@@ -653,9 +698,8 @@ def _beam_search_cpu(queries, entry, adj, nbr_vecs, nbr_sqn, vectors,
 def _beam_search_jit(
     queries,     # [Q, d] f32 preprocessed, Q % LANE == 0
     entry,       # [Q] i32 layer-0 entry slots
-    adj,         # [cap, W] i32, -1 padded
     nbr_vecs,    # [cap, W, d] bf16 neighborhood-blocked vectors
-    nbr_sqn,     # [cap, W] f32 neighbor squared norms
+    aux,         # [cap, (1+ndig)*W] bf16 aux rows (_aux_planes)
     vectors,     # [cap, d] f32 (entry distances + exact rerank)
     sqnorms,     # [cap] f32
     allowed,     # [cap] bool result-admission mask
@@ -676,7 +720,7 @@ def _beam_search_jit(
     res_s [Q, k]) ascending with slot tie-break; empty = (inf, SENT).
     """
     Q, d = queries.shape
-    cap, W = adj.shape
+    cap, W, _ = nbr_vecs.shape
     ew = expand * W
     kr = _next_pow2(max(2 * k, 64)) if fused else 0
 
@@ -692,7 +736,7 @@ def _beam_search_jit(
 
     def body(state):
         i, beam_d, beam_s, beam_e, nodes, res_d, res_s, _ = state
-        nd, ns, ok = _gather_score(qb, qn, adj, nbr_vecs, nbr_sqn, nodes, ew)
+        nd, ns, ok = _gather_score(qb, qn, nbr_vecs, aux, nodes, ew)
         adm = None
         if fused:
             adm = (
@@ -723,22 +767,44 @@ def _beam_search_jit(
 
 
 @jax.jit
+def nearest_entry(queries, mem_vecs_t, mem_sqn, mem_slots):
+    """Layer-0 entry selection: the EXACT nearest upper-layer member per
+    query, as one MXU matmul over all level>=1 nodes (~n/m of the corpus).
+
+    Replaces lockstep greedy descent for search: descent's per-hop
+    neighbor gathers + batch matvecs cost tens of ms per 2048-query batch
+    (the hop count is the worst query's), while this is a single dense
+    [Q, d] x [d, n/m] bf16 matmul — and its entry is strictly closer than
+    (or equal to) what greedy descent converges to, so recall can only
+    improve. queries [Q, d] f32; mem_vecs_t [d, M] bf16; mem_sqn [M] f32
+    (+inf on padding); mem_slots [M] i32. Returns [Q] i32 layer-0 slots."""
+    ip = jnp.dot(
+        queries.astype(jnp.bfloat16), mem_vecs_t,
+        preferred_element_type=jnp.float32,
+    )                                                   # [Q, M]
+    d = mem_sqn[None, :] - 2.0 * ip                     # + qn is rank-free
+    return mem_slots[jnp.argmin(d, axis=1)]
+
+
+@jax.jit
 def build_blocked_tables(adj, vectors, sqnorms):
     """One-time build of the neighborhood-blocked routing tables:
-    nbr_vecs[p, j] = vectors[adj[p, j]] (bf16), nbr_sqn likewise (f32)."""
+    nbr_vecs[p, j] = vectors[adj[p, j]] (bf16) plus the per-node aux row
+    (sqnorms + adjacency digit planes, see _aux_planes)."""
     nc = jnp.maximum(adj, 0)
     nv = vectors[nc].astype(jnp.bfloat16)
     nsq = jnp.where(adj >= 0, sqnorms[nc], 0.0)
-    return nv, nsq
+    return nv, _aux_planes(adj, nsq, adj.shape[0])
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
-def update_blocked_rows(nbr_vecs, nbr_sqn, rows, adj_rows, vectors, sqnorms):
+def update_blocked_rows(nbr_vecs, aux, rows, adj_rows, vectors, sqnorms):
     """Resync neighborhood-blocked rows after adjacency updates (donated)."""
     nc = jnp.maximum(adj_rows, 0)
     v = vectors[nc]                                # [R, W, d]
     nbr_vecs = nbr_vecs.at[rows].set(v.astype(nbr_vecs.dtype))
-    nbr_sqn = nbr_sqn.at[rows].set(
-        jnp.where(adj_rows >= 0, sqnorms[nc], 0.0)
+    nsq = jnp.where(adj_rows >= 0, sqnorms[nc], 0.0)
+    aux = aux.at[rows].set(
+        _aux_planes(adj_rows, nsq, nbr_vecs.shape[0])
     )
-    return nbr_vecs, nbr_sqn
+    return nbr_vecs, aux

@@ -180,13 +180,13 @@ def test_full_search_small_graph_exact(rng):
 
     import jax.numpy as jnp
 
-    nbr_vecs, nbr_sqn = build_blocked_tables(
+    nbr_vecs, aux = build_blocked_tables(
         jnp.asarray(adj), jnp.asarray(vectors), jnp.asarray(sqn)
     )
     allowed = np.zeros(cap, bool)
     allowed[:n] = True
     sd, ss = beam_search_blocked(
-        queries, entry, adj, nbr_vecs, nbr_sqn, vectors, sqn,
+        queries, entry, nbr_vecs, aux, vectors, sqn,
         allowed, np.float32(np.inf),
         ef=64, k=k, expand=4, max_iters=256, fused=False, use_pallas=False,
     )
@@ -216,12 +216,12 @@ def test_full_search_fused_filter(rng):
 
     import jax.numpy as jnp
 
-    nbr_vecs, nbr_sqn = build_blocked_tables(
+    nbr_vecs, aux = build_blocked_tables(
         jnp.asarray(adj), jnp.asarray(vectors), jnp.asarray(sqn)
     )
     allowed = np.arange(cap) % 2 == 0
     sd, ss = beam_search_blocked(
-        queries, entry, adj, nbr_vecs, nbr_sqn, vectors, sqn,
+        queries, entry, nbr_vecs, aux, vectors, sqn,
         allowed, np.float32(np.inf),
         ef=64, k=k, expand=4, max_iters=128, fused=True, use_pallas=False,
     )
