@@ -10,11 +10,13 @@ unchanged until flush, bm25_index.go:253-278,374-399), node-based
 (bm25_index_search.go:233-261), multi-query aggregation / k / autocut /
 doc-ID filters, and binary serialization.
 
-Tokenizer note: the reference iterates raw UAX#29 segments — including
-punctuation and whitespace segments — into its postings
-(bm25_index.go:159-166). Here tokens are the WORDLIKE segments only
-(Unicode word characters), equivalent to uax29 + a wordlike filter; doc
-lengths therefore count words, not whitespace runs.
+Tokenizer: true UAX#29 word segmentation (indexes/uax29.py), yielding ALL
+segments — including punctuation and whitespace runs — exactly like the
+reference's words.FromString loop (bm25_index.go:159-166): contractions
+("don't"), numerics ("1,000.50"), domains ("example.com") stay single
+tokens; doc lengths count every segment. Pass wordlike_only=True to filter
+to letter/digit-bearing segments instead (a quality knob the reference
+lacks).
 
 Engine: postings build incrementally into per-term (doc, tf) arrays; a
 query scores by accumulating vectorized per-term contributions into a dense
@@ -25,7 +27,6 @@ roaring bitmaps doc-by-doc). Deletions/filters are packed-bitset masks.
 from __future__ import annotations
 
 import math
-import re
 import threading
 import unicodedata
 from typing import BinaryIO, Iterable
@@ -36,6 +37,7 @@ from comet_tpu.core.aggregation import aggregate_scores
 from comet_tpu.core.filter import DocumentFilter
 from comet_tpu.core.limiter import autocut_results, limit_results
 from comet_tpu.core.results import TextResult
+from comet_tpu.indexes import uax29
 from comet_tpu.io import serial
 from comet_tpu.ops.bitset import Bitset
 from comet_tpu.types import (
@@ -45,13 +47,12 @@ from comet_tpu.types import (
 )
 
 MAGIC = b"CB25"
-VERSION = 1
+# v2: explicit per-doc token lists (v1 joined tokens with " " and
+# re-tokenized on load — lossy once whitespace runs are themselves tokens)
+VERSION = 2
 
 K1 = 1.2  # bm25_index.go:75-80
 B = 0.75
-
-_WORD_RE = re.compile(r"[\w]+", re.UNICODE)
-
 
 def normalize(text: str) -> str:
     """NFKC + lowercase (bm25_index.go:154-156)."""
@@ -59,8 +60,10 @@ def normalize(text: str) -> str:
 
 
 def tokenize(text: str) -> list[str]:
-    """Wordlike tokens from normalized text (see module docstring)."""
-    return _WORD_RE.findall(text)
+    """ALL UAX#29 word segments — whitespace and punctuation included —
+    matching the reference's unfiltered words.FromString loop
+    (bm25_index.go:159-166). See indexes/uax29.py."""
+    return uax29.segment(text)
 
 
 class _Postings:
@@ -105,7 +108,11 @@ POSTING_CHUNK = 512  # postings split into fixed-size chunks for device gathers
 class BM25SearchIndex:
     """BM25 text index (reference: bm25_index.go:98-122)."""
 
-    def __init__(self):
+    def __init__(self, wordlike_only: bool = False):
+        # wordlike_only=True filters segments to letter/digit-bearing ones
+        # (quality knob; the reference indexes every segment). The flag is
+        # NOT serialized — use the same setting when reloading.
+        self._wordlike_only = wordlike_only
         self._postings: dict[str, _Postings] = {}
         self._doc_tokens: dict[int, list[str]] = {}
         self._doc_len: dict[int, int] = {}
@@ -119,6 +126,12 @@ class BM25SearchIndex:
         self._dev = None  # (chunk_docs, chunk_tf, doc_len, term_chunks, n_pad)
         self._host_version = -1
         self._host = None  # (docs, tfs, term ranges, doc_len) for native
+
+    def _tokenize(self, text: str) -> list[str]:
+        toks = tokenize(normalize(text))
+        if self._wordlike_only:
+            toks = uax29.wordlike(toks)
+        return toks
 
     # -- contracts -----------------------------------------------------------
 
@@ -155,21 +168,23 @@ class BM25SearchIndex:
         """Index a document; replaces an existing doc with the same ID
         (bm25_index.go:188-226)."""
         with self._lock:
-            doc_id = int(doc_id)
-            if doc_id in self._doc_tokens:
-                self._remove_internal(doc_id)
-            self._deleted.discard(doc_id)
-            tokens = tokenize(normalize(text))
-            self._doc_tokens[doc_id] = tokens
-            self._doc_len[doc_id] = len(tokens)
-            self._num_docs += 1
-            self._total_tokens += len(tokens)
-            for t in tokens:
-                p = self._postings.get(t)
-                if p is None:
-                    p = self._postings[t] = _Postings()
-                p.bump(doc_id)
-            self._len_version += 1
+            self._add_tokens(int(doc_id), self._tokenize(text))
+
+    def _add_tokens(self, doc_id: int, tokens: list[str]) -> None:
+        """Index pre-tokenized content (caller holds the lock)."""
+        if doc_id in self._doc_tokens:
+            self._remove_internal(doc_id)
+        self._deleted.discard(doc_id)
+        self._doc_tokens[doc_id] = tokens
+        self._doc_len[doc_id] = len(tokens)
+        self._num_docs += 1
+        self._total_tokens += len(tokens)
+        for t in tokens:
+            p = self._postings.get(t)
+            if p is None:
+                p = self._postings[t] = _Postings()
+            p.bump(doc_id)
+        self._len_version += 1
 
     def add_batch(self, ids: Iterable[int], texts: Iterable[str]) -> None:
         """Bulk indexing: one postings update per UNIQUE (term, doc) pair
@@ -183,7 +198,7 @@ class BM25SearchIndex:
                 if doc_id in self._doc_tokens:
                     self._remove_internal(doc_id)
                 self._deleted.discard(doc_id)
-                tokens = tokenize(normalize(text))
+                tokens = self._tokenize(text)
                 self._doc_tokens[doc_id] = tokens
                 self._doc_len[doc_id] = len(tokens)
                 self._num_docs += 1
@@ -254,7 +269,7 @@ class BM25SearchIndex:
         Mirrors the scoring loop at bm25_index_search.go:299-327, but each
         term contributes one vectorized pass over its postings arrays.
         """
-        qtokens = tokenize(normalize(query))
+        qtokens = self._tokenize(query)
         n = float(self._num_docs)
         if not qtokens or n == 0:
             return np.zeros(0, dtype=np.uint32), np.zeros(0, dtype=np.float64)
@@ -337,7 +352,7 @@ class BM25SearchIndex:
 
         starts, lens, idfs, qoff = [], [], [], [0]
         for qtext in queries:
-            for t in tokenize(normalize(qtext)):
+            for t in self._tokenize(qtext):
                 r = ranges.get(t)
                 if r is None:
                     continue
@@ -457,7 +472,7 @@ class BM25SearchIndex:
             for qtext in queries:
                 cids = []
                 idfs = []
-                for t in tokenize(normalize(qtext)):
+                for t in self._tokenize(qtext):
                     p = self._postings.get(t)
                     chunks = term_chunks.get(t)
                     if p is None or chunks is None:
@@ -517,7 +532,8 @@ class BM25SearchIndex:
     # -- serialization ----------------------------------------------------------
 
     def write_to(self, f: BinaryIO) -> None:
-        """CB25 v1: per-doc token streams (postings are rebuilt on load).
+        """CB25 v2: explicit per-doc token lists (postings are rebuilt on
+        load — tokens round-trip verbatim, including whitespace segments).
         Flushes soft deletes first."""
         with self._lock:
             self.flush()
@@ -525,16 +541,21 @@ class BM25SearchIndex:
             serial.write_u64(f, len(self._doc_tokens))
             for doc_id in sorted(self._doc_tokens):
                 serial.write_u32(f, doc_id)
-                serial.write_str(f, " ".join(self._doc_tokens[doc_id]))
+                tokens = self._doc_tokens[doc_id]
+                serial.write_u32(f, len(tokens))
+                for t in tokens:
+                    serial.write_str(f, t)
 
     def read_from(self, f: BinaryIO) -> None:
         serial.read_magic(f, MAGIC, VERSION)
         n = serial.read_u64(f)
         with self._lock:
-            self.__init__()
+            wordlike = self._wordlike_only
+            self.__init__(wordlike_only=wordlike)
             for _ in range(n):
                 doc_id = serial.read_u32(f)
-                self.add(doc_id, serial.read_str(f))
+                ntok = serial.read_u32(f)
+                self._add_tokens(doc_id, [serial.read_str(f) for _ in range(ntok)])
 
 
 def _bm25_device_kernel(

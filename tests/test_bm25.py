@@ -54,11 +54,20 @@ def bm25_oracle(corpus, deleted=()):
 
 
 def test_normalize_and_tokenize():
+    """UAX#29 semantics: ALL segments, matching the reference's unfiltered
+    words.FromString loop (bm25_index.go:159-166) — whitespace and
+    punctuation runs are tokens too."""
     assert normalize("HeLLo WORLD") == "hello world"
-    assert tokenize("the quick-brown fox!") == ["the", "quick", "brown", "fox"]
-    assert tokenize("café 123 a_b") == ["café", "123", "a_b"]
+    assert tokenize("the quick-brown fox!") == [
+        "the", " ", "quick", "-", "brown", " ", "fox", "!",
+    ]
+    assert tokenize("café 123 a_b") == ["café", " ", "123", " ", "a_b"]
     # NFKC folds full-width forms
     assert tokenize(normalize("ＱＵＩＣＫ")) == ["quick"]
+    # contractions / numerics / domains stay single tokens (uax29, not \\w+)
+    assert tokenize("don't") == ["don't"]
+    assert tokenize("1,000.50") == ["1,000.50"]
+    assert tokenize("example.com") == ["example.com"]
 
 
 def test_basic_search_scores_match_oracle():
@@ -84,7 +93,14 @@ def test_k_limits_results():
 
 def test_no_match_returns_empty():
     idx = sample_index()
-    assert idx.new_search().with_query("zebra unicorn").execute() == []
+    # single absent term: nothing to score
+    assert idx.new_search().with_query("zebra").execute() == []
+    # "zebra unicorn" tokenizes to ["zebra", " ", "unicorn"]; the whitespace
+    # segment IS an indexed term (reference behavior: every doc containing a
+    # space matches weakly), so this returns every doc with tiny scores
+    res = idx.new_search().with_query("zebra unicorn").with_k(10).execute()
+    assert len(res) == len(CORPUS)
+    assert all(r.score < 0.2 for r in res)
 
 
 def test_requires_query_or_node():
@@ -192,7 +208,13 @@ def test_serialization_roundtrip():
 
 def test_empty_query_tokens():
     idx = sample_index()
-    assert idx.new_search().with_query("!!! ...").execute() == []
+    # punctuation-only query with no whitespace: "!" and "." are segments,
+    # but no corpus doc contains them, so nothing scores
+    assert idx.new_search().with_query("!!!...").execute() == []
+    assert idx.new_search().with_query("").execute() == []
+    # with a space in the query, the whitespace term matches every doc
+    # (reference parity — every segment is indexed, bm25_index.go:159-166)
+    assert len(idx.new_search().with_query("!!! ...").with_k(10).execute()) == len(CORPUS)
 
 
 def test_unicode_content():
