@@ -12,7 +12,9 @@ Divergences (deliberate, documented):
 - Compaction MERGES FOR REAL (exact index-level copies, storage/merge.py);
   the reference's compaction writes an empty index and deletes the source
   segments, losing data (storage_compaction.go:66-72).
-- Remove() covers every memtable, not just the active one.
+- Remove() covers every memtable AND flushed segments (durable tombstones
+  masked into segment reads, consumed by compaction); the reference can
+  only remove from the active memtable.
 - Segment-search errors are logged, not silently dropped (storage.go:563-566).
 - Memtables get fresh indexes from factories (see storage/memtable.py).
 """
@@ -96,6 +98,14 @@ class PersistentHybridIndex:
                     bloom_path=self.provider.bloom_path(sid),
                 )
             )
+
+        # Deletion tombstones: doc IDs removed AFTER they were flushed to an
+        # immutable segment. Consulted by every segment read, consumed by
+        # compaction, durable in a TOMBSTONES sidecar. The reference cannot
+        # delete flushed docs at all (storage.go:278-296).
+        self._tombstones: set[int] = set()
+        self._tomb_mu = threading.Lock()
+        self._load_tombstones()
 
         self._wal_seq = self.provider.max_wal_seq() + 1
         surviving_wals = self.provider.list_wals() if config.wal_enabled else []
@@ -211,6 +221,92 @@ class PersistentHybridIndex:
         with open(hint, "w") as f:
             f.write(str(max_id))
 
+    # -- deletion tombstones -----------------------------------------------------
+
+    def _tombstones_path(self) -> str:
+        import os
+
+        return os.path.join(self.provider.base_dir, "TOMBSTONES")
+
+    def _load_tombstones(self) -> None:
+        try:
+            with open(self._tombstones_path()) as f:
+                live: set[int] = set()
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        op, doc = line[0], int(line[1:])
+                    except ValueError:
+                        continue  # torn tail: ignore the partial record
+                    if op == "+":
+                        live.add(doc)
+                    elif op == "-":
+                        live.discard(doc)
+                self._tombstones = live
+        except FileNotFoundError:
+            pass
+
+    def _append_tombstone_op(self, op: str, doc_id: int) -> None:
+        import os
+
+        with open(self._tombstones_path(), "a") as f:
+            f.write(f"{op}{doc_id}\n")
+            if self.config.wal_fsync:
+                f.flush()
+                os.fsync(f.fileno())
+
+    def _add_tombstone(self, doc_id: int) -> None:
+        with self._tomb_mu:
+            if doc_id in self._tombstones:
+                return
+            self._tombstones.add(doc_id)
+            self._append_tombstone_op("+", doc_id)
+
+    def _discard_tombstone(self, doc_id: int) -> None:
+        with self._tomb_mu:
+            if doc_id not in self._tombstones:
+                return
+            self._tombstones.discard(doc_id)
+            self._append_tombstone_op("-", doc_id)
+
+    def _rewrite_tombstones(self) -> None:
+        """Compact the op log to the live set (called from flush)."""
+        import os
+
+        with self._tomb_mu:
+            path = self._tombstones_path()
+            if not self._tombstones:
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
+                return
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                for doc in sorted(self._tombstones):
+                    f.write(f"+{doc}\n")
+                if self.config.wal_fsync:
+                    f.flush()
+                    os.fsync(f.fileno())
+            os.replace(tmp, path)
+
+    def _gc_tombstones(self) -> None:
+        """Drop tombstones no remaining segment can contain (post-compaction;
+        bloom false-positives only ever KEEP a tombstone — safe)."""
+        with self._tomb_mu:
+            if not self._tombstones:
+                return
+            segments = self.segments.list()
+            dead = [
+                doc
+                for doc in self._tombstones
+                if not any(seg.may_contain(doc) for seg in segments)
+            ]
+        for doc in dead:
+            self._discard_tombstone(doc)
+
     # -- write path ------------------------------------------------------------
 
     def _check_open(self):
@@ -225,6 +321,7 @@ class PersistentHybridIndex:
 
     def add_with_id(self, doc_id: int, vector=None, text: str = "", metadata=None) -> None:
         self._check_open()
+        self._discard_tombstone(doc_id)  # re-adding resurrects the ID
         self.memtables.add_with_id(doc_id, vector, text, metadata)
         self._maybe_schedule_flush()
 
@@ -247,11 +344,21 @@ class PersistentHybridIndex:
         return ids
 
     def remove(self, doc_id: int) -> bool:
-        """Remove from memtables. Docs already flushed to immutable segments
-        are NOT removed (LSM limitation shared with the reference, which only
-        covers the ACTIVE memtable, storage.go:278-296)."""
+        """Remove a document EVERYWHERE: memtables directly, and flushed
+        immutable segments via a durable tombstone masked into every segment
+        read and consumed by compaction. (The reference can only remove from
+        the active memtable, storage.go:278-296 — flushed docs are
+        undeletable there.)"""
         self._check_open()
-        return self.memtables.remove(doc_id)
+        removed_mem = self.memtables.remove(doc_id)
+        removed_seg = False
+        for seg in self.segments.list():
+            if seg.may_contain(doc_id) and seg.get_index().has_document(doc_id):
+                removed_seg = True
+                break
+        if removed_seg:
+            self._add_tombstone(doc_id)
+        return removed_mem or removed_seg
 
     def has_document(self, doc_id: int) -> bool:
         """Point lookup: memtables first, then segments — loading a segment
@@ -260,6 +367,8 @@ class PersistentHybridIndex:
         for mt in reversed(self.memtables.list_all()):
             if mt.index.has_document(doc_id):
                 return True
+        if doc_id in self._tombstones:
+            return False  # deleted post-flush; segment copies are masked
         for seg in self.segments.list():
             if seg.may_contain(doc_id) and seg.get_index().has_document(doc_id):
                 return True
@@ -302,6 +411,7 @@ class PersistentHybridIndex:
             if self.memtables.mutable.num_docs > 0:
                 self.memtables.rotate()
             self._flush_frozen()
+            self._rewrite_tombstones()
 
     def _flush_frozen(self) -> None:
         for mt in self.memtables.list_frozen():
@@ -390,32 +500,38 @@ class PersistentHybridIndex:
             to_merge = candidates[: self.config.compaction_threshold]
 
             merged = self._make_index()
-            seen: set[int] = set()
+            # tombstoned docs are consumed here: seeding `skip` drops them
+            # from the merged output for good
+            with self._tomb_mu:
+                seen: set[int] = set(self._tombstones)
             # newest source first => newest version of a doc wins
             for seg in reversed(to_merge):
                 seen |= merge_hybrid(merged, seg.get_index(), seen)
 
-            sid = self.provider.next_segment_id()
-            paths = self.provider.segment_paths(sid)
-            streams = {k: gzip.open(p, "wb") for k, p in paths.items()}
-            try:
-                merged.write_to(
-                    streams["hybrid"], streams["vector"], streams["text"],
-                    streams["metadata"],
+            if merged._doc_info:
+                sid = self.provider.next_segment_id()
+                paths = self.provider.segment_paths(sid)
+                streams = {k: gzip.open(p, "wb") for k, p in paths.items()}
+                try:
+                    merged.write_to(
+                        streams["hybrid"], streams["vector"], streams["text"],
+                        streams["metadata"],
+                    )
+                finally:
+                    for s in streams.values():
+                        s.close()
+                bloom_path = self.provider.bloom_path(sid)
+                self._write_bloom(bloom_path, merged)
+                new_seg = SegmentMetadata(
+                    sid, paths, self._make_index, bloom_path=bloom_path
                 )
-            finally:
-                for s in streams.values():
-                    s.close()
-            bloom_path = self.provider.bloom_path(sid)
-            self._write_bloom(bloom_path, merged)
-            new_seg = SegmentMetadata(
-                sid, paths, self._make_index, bloom_path=bloom_path
-            )
-            new_seg._cached = merged
-            self.segments.add(new_seg)
+                new_seg._cached = merged
+                self.segments.add(new_seg)
             for seg in to_merge:
                 self.segments.remove(seg.segment_id)
                 self.provider.delete_segment(seg.segment_id)
+        # tombstones whose last possible copy was just compacted away are done
+        self._gc_tombstones()
 
     # -- read path ---------------------------------------------------------------
 
@@ -439,10 +555,16 @@ class PersistentHybridIndex:
 
         result_lists = [run(idx) for idx in sources]
         if segments:
+            tombstones = self._tombstones  # snapshot reference; set ops are atomic
+
             # the lazy gzip load happens INSIDE the worker so a corrupt or
             # truncated segment fails that one source, not the whole search
             def run_segment(seg: SegmentMetadata):
-                return run(seg.get_index())
+                hits = run(seg.get_index())
+                if tombstones:
+                    # deleted-after-flush docs are masked out of segment reads
+                    hits = [r for r in hits if r.id not in tombstones]
+                return hits
 
             with ThreadPoolExecutor(max_workers=min(8, len(segments))) as pool:
                 futures = [pool.submit(run_segment, seg) for seg in segments]
