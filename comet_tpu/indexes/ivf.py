@@ -19,6 +19,7 @@ of queries probe in lockstep; there is no per-query pointer chasing.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import BinaryIO, Iterable
 
@@ -215,6 +216,12 @@ class IVFIndex(BaseVectorIndex):
         self._dense_version = -1
         self._dev_t = None
         self._dev_assign = None
+        # block-sparse scan cache (TPU pruned fast path)
+        self._sparse_version = -1
+        self._sparse = None          # dict of device arrays + budgets
+        self._order_key_src = None   # centroids object the order key is for
+        self._order_key = None
+        self._last_overflow = None   # [G] device array from the last batch
 
     # -- contracts -----------------------------------------------------------
 
@@ -344,6 +351,91 @@ class IVFIndex(BaseVectorIndex):
     def _search_batch(self, queries: np.ndarray, builder: VectorSearchBuilder):
         return self._search_collect(self._search_launch(queries, builder))
 
+    def _device_sparse(self):
+        """Cluster-major layout for the block-sparse scan (ops/ivf_sparse),
+        rebuilt when contents change. Soft-deleted slots are dropped from
+        the layout; padding rows carry +inf in the additive mask."""
+        import jax
+
+        from comet_tpu.ops import ivf_sparse as sp
+
+        if self._order_key_src is not self._centroids:
+            self._order_key = jnp.asarray(
+                sp.cluster_order_key(self._centroids)
+            )
+            self._order_key_src = self._centroids
+        if self._sparse_version != self._store.version:
+            n = self._store.n
+            assign = np.where(
+                self._store.valid[:n], self._assign[:n], -1
+            ).astype(np.int32)
+            lay = sp.build_cluster_major(assign, self._nlist)
+            perm = jnp.asarray(lay["perm"])
+            vecs, sqnorms, _ = self._store.device_state()
+            cosine = self._distance_kind == DistanceKind.COSINE
+
+            @jax.jit
+            def build(perm, vecs, sqnorms):
+                pc = jnp.maximum(perm, 0)
+                rows_t = vecs[pc].T                       # [d, NR]
+                base = jnp.zeros_like(sqnorms[pc]) if cosine else sqnorms[pc]
+                mask = jnp.where(perm >= 0, base, jnp.inf)
+                return rows_t, mask
+
+            corpus_t, mask_vec = build(perm, vecs, sqnorms)
+            self._sparse = {
+                "corpus_t": corpus_t,
+                "mask_vec": mask_vec,
+                "row_slot": perm,
+                "chunk_start": jnp.asarray(lay["chunk_start"]),
+                "nchunks": jnp.asarray(lay["nchunks"]),
+                "nch_total": int(lay["chunk_start"][-1]),
+                "max_chunks": lay["max_chunks"],
+            }
+            self._sparse_version = self._store.version
+        return self._sparse
+
+    def _launch_sparse(self, qpad, q_real, k_pad, k_eff, nprobe, builder):
+        """Block-sparse pruned scan: compute tracks nprobe (VERDICT r2 #3)."""
+        import jax
+
+        from comet_tpu.ops import ivf_sparse as sp
+
+        st = self._device_sparse()
+        cosine = self._distance_kind == DistanceKind.COSINE
+        thr = threshold_scalar(builder._threshold)
+        thr_k = thr * thr if self._distance_kind == DistanceKind.L2 else thr
+        if qpad.shape[0] % sp.QG != 0:
+            grown = np.zeros(
+                (-(-qpad.shape[0] // sp.QG) * sp.QG, qpad.shape[1]), np.float32
+            )
+            grown[: qpad.shape[0]] = qpad
+            qpad = grown
+        mask_vec = st["mask_vec"]
+        doc_filter = DocumentFilter(builder._document_ids)
+        fmask = doc_filter.slot_mask(self._store.ids)
+        if fmask is not None:
+            fm = jnp.asarray(fmask)[jnp.maximum(st["row_slot"], 0)]
+            mask_vec = jnp.where(fm, mask_vec, jnp.inf)
+        S, UC, MC = sp.default_budgets(
+            nprobe, self._nlist, st["nch_total"], st["max_chunks"]
+        )
+        s, i, overflow = sp.ivf_sparse_pipeline(
+            jnp.asarray(qpad), st["corpus_t"], mask_vec, st["row_slot"],
+            thr_k, jnp.asarray(self._centroids), self._order_key,
+            st["chunk_start"], st["nchunks"],
+            k=k_pad, nprobe=nprobe, S=S, UC=UC, MC=MC, nlist=self._nlist,
+            coarse_cosine=cosine, cosine=cosine,
+            sqrt_out=self._distance_kind == DistanceKind.L2,
+        )
+        self._last_overflow = overflow
+        try:
+            s.copy_to_host_async()
+            i.copy_to_host_async()
+        except AttributeError:  # pragma: no cover
+            pass
+        return ("dev", s, i, q_real, k_eff, self._store.ids)
+
     def _device_dense(self):
         """Transposed corpus + device assign vector for the dense masked
         scan, rebuilt when contents change (invalid slots carry -1, which
@@ -388,6 +480,22 @@ class IVFIndex(BaseVectorIndex):
             ivf_topk_pipeline,
             pallas_available,
         )
+
+        # Block-sparse pruned scan: preferred at scale (compute tracks
+        # nprobe; no [Q, N] work, no 2^21 capacity gate). COMET_IVF_SPARSE=0
+        # disables; =1 forces it even on small corpora (tests).
+        sparse_env = os.environ.get("COMET_IVF_SPARSE", "")
+        use_sparse = (
+            pallas_available()
+            and sparse_env != "0"
+            and (store.capacity >= (1 << 19) or sparse_env == "1")
+            and self._nlist >= 8
+            and nprobe < self._nlist
+        )
+        if use_sparse:
+            return self._launch_sparse(
+                qpad, q_real, k_pad, k_eff, nprobe, builder
+            )
 
         use_dense = (
             pallas_available()
