@@ -140,7 +140,7 @@ def _group_chunk_lists(
     Returns (chunk_ids [G, S] i32, cluster_ids [G, S] i32 (-1 dead),
     n_real [G] i32, overflow [G] i32)."""
     Q, P = probes.shape
-    assert P * nlist * MC < int(BIG), (P, nlist, MC)
+    assert P * nlist < int(BIG), (P, nlist)
     G = Q // QG
     pg = probes.reshape(G, QG * P)
     ranks = jnp.tile(
@@ -157,28 +157,33 @@ def _group_chunk_lists(
     sel_key = jnp.where(first, r_s * nlist + c_s, BIG)
     sel_key = lax.sort(sel_key, dimension=1)[:, :UC]   # order by (rank, cluster)
     valid_c = sel_key < BIG
-    r_u = jnp.where(valid_c, sel_key // nlist, 0)
     c_u = jnp.where(valid_c, sel_key % nlist, 0)
-    # expand clusters to chunks, keep (rank, cluster, chunk-pos) order
+    # expand clusters to chunks by exclusive cumsum + scatter (rank order is
+    # the cluster order, so positions are contiguous by rank — no big sort)
     base = chunk_start[c_u]                             # [G, UC]
     nch = jnp.where(valid_c, nchunks[c_u], 0)           # [G, UC]
+    off = jnp.cumsum(nch, axis=1) - nch                 # exclusive
     i = lax.broadcasted_iota(jnp.int32, (G, UC, MC), 2)
-    ok = valid_c[:, :, None] & (i < nch[:, :, None])
-    ekey = jnp.where(
-        ok, (r_u[:, :, None] * nlist + c_u[:, :, None]) * MC + i, BIG
-    ).reshape(G, UC * MC)
-    n_real_all = jnp.sum(ekey < BIG, axis=1).astype(jnp.int32)  # [G]
-    if UC * MC < S:  # keep the walk list exactly S wide (the kernel's
-        # scalar-prefetch grid reads [G, S]; a narrower array would read OOB)
-        ekey = jnp.pad(ekey, ((0, 0), (0, S - UC * MC)), constant_values=BIG)
-    ekey = lax.sort(ekey, dimension=1)[:, :S]
-    dead = ekey >= BIG
-    c_e = jnp.where(dead, 0, (ekey // MC) % nlist)
-    i_e = jnp.where(dead, 0, ekey % MC)
-    chunk = chunk_start[c_e] + i_e
-    first_chunk = chunk[:, 0:1]
-    chunk_ids = jnp.where(dead, first_chunk, chunk)
-    cluster_ids = jnp.where(dead, -1, c_e)
+    pos = off[:, :, None] + i                           # [G, UC, MC]
+    ok = valid_c[:, :, None] & (i < nch[:, :, None]) & (pos < S)
+    pos_safe = jnp.where(ok, pos, S)                    # dropped out of range
+    g_idx = lax.broadcasted_iota(jnp.int32, (G, UC, MC), 0)
+    chunk_val = base[:, :, None] + i
+    chunk_ids = jnp.full((G, S), -1, jnp.int32).at[
+        g_idx.reshape(-1), pos_safe.reshape(-1)
+    ].set(chunk_val.reshape(-1), mode="drop")
+    cluster_ids = jnp.full((G, S), -1, jnp.int32).at[
+        g_idx.reshape(-1), pos_safe.reshape(-1)
+    ].set(
+        jnp.broadcast_to(c_u[:, :, None], (G, UC, MC)).reshape(-1),
+        mode="drop",
+    )
+    n_real_all = (off + nch)[:, -1].astype(jnp.int32)   # total chunks wanted
+    dead = cluster_ids < 0
+    # dead steps repeat a real chunk (no new DMA) under an all-inf mask;
+    # if the group probed only empty clusters every step is dead — clamp
+    first_chunk = jnp.maximum(chunk_ids[:, 0:1], 0)
+    chunk_ids = jnp.where(dead, first_chunk, chunk_ids)
     n_real = jnp.minimum(n_real_all, S)
     overflow = jnp.maximum(n_real_all - S, 0)
     return chunk_ids, cluster_ids, n_real, overflow
@@ -191,19 +196,19 @@ def _sparse_kernel(
     chunk_ids_ref, cluster_ids_ref,   # scalar-prefetch [G, S] i32
     q_ref,        # [QG, d] f32 (this group's queries)
     qn_ref,       # [QG, 1] f32
-    x_ref,        # [d, CHUNK] corpus chunk (transposed, cluster-major)
-    xm_ref,       # [1, CHUNK] f32 additive mask (sqnorms / 0, +inf invalid)
+    x_ref,        # [d, chunk] corpus chunk (transposed, cluster-major)
+    xm_ref,       # [1, chunk] f32 additive mask (sqnorms / 0, +inf invalid)
     probes_ref,   # [QG, P] i32 this group's probed clusters
     thr_ref,      # [1, 1] f32 (SMEM)
-    dist_ref,     # out [1, QG, CHUNK] f32
+    dist_ref,     # out [1, QG, chunk] f32
     gsel_ref,     # out [1, kb, QG] i32
     buf_v, buf_i,  # scratch [(kb + accum), QG]
-    *, kb, accum_steps, cosine,
+    *, kb, accum_steps, cosine, chunk, sel_group,
 ):
     g = pl.program_id(0)
     s = pl.program_id(1)
     ns = pl.num_programs(1)
-    new_per_step = CHUNK // SEL_GROUP  # = 2
+    new_per_step = chunk // sel_group
 
     ip = lax.dot_general(
         q_ref[:], x_ref[:],
@@ -222,7 +227,7 @@ def _sparse_kernel(
     dist = jnp.where(member, dist, jnp.inf)
     dist_ref[0] = dist
 
-    gmin = jnp.min(dist.reshape(QG, new_per_step, SEL_GROUP), axis=2).T
+    gmin = jnp.min(dist.reshape(QG, new_per_step, sel_group), axis=2).T
     gids = (
         s * new_per_step
         + lax.broadcasted_iota(jnp.int32, (new_per_step, QG), 0)
@@ -261,7 +266,10 @@ def _sparse_kernel(
         gsel_ref[0, :, :] = buf_i[pl.ds(0, kb), :]
 
 
-@partial(jax.jit, static_argnames=("kb", "S", "cosine", "interpret"))
+@partial(
+    jax.jit,
+    static_argnames=("kb", "S", "cosine", "chunk", "sel_group", "interpret"),
+)
 def _sparse_scan(
     qsorted: jax.Array,      # [Q, d] f32 (query-sorted), Q % QG == 0
     corpus_t: jax.Array,     # [d, NR] f32 cluster-major transposed
@@ -272,16 +280,18 @@ def _sparse_scan(
     threshold: jax.Array,    # scalar f32
     kb: int, S: int,
     cosine: bool = False,
+    chunk: int = CHUNK,
+    sel_group: int = SEL_GROUP,
     interpret: bool = False,
 ):
-    """Returns (dist [G, QG, S*CHUNK] f32, gsel [G, kb, QG] i32)."""
+    """Returns (dist [G, QG, S*chunk] f32, gsel [G, kb, QG] i32)."""
     Q, d = qsorted.shape
     G = Q // QG
     P = probes.shape[1]
     qn = jnp.sum(qsorted * qsorted, axis=1, keepdims=True)
     xm2d = mask_vec[None, :]
     thr2d = threshold.reshape(1, 1)
-    new_per_step = CHUNK // SEL_GROUP
+    new_per_step = chunk // sel_group
     accum_steps = max(kb // new_per_step, 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -290,13 +300,13 @@ def _sparse_scan(
         in_specs=[
             pl.BlockSpec((QG, d), lambda g, s, ch, cl: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((QG, 1), lambda g, s, ch, cl: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, CHUNK), lambda g, s, ch, cl: (0, ch[g, s]), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CHUNK), lambda g, s, ch, cl: (0, ch[g, s]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, chunk), lambda g, s, ch, cl: (0, ch[g, s]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda g, s, ch, cl: (0, ch[g, s]), memory_space=pltpu.VMEM),
             pl.BlockSpec((QG, P), lambda g, s, ch, cl: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda g, s, ch, cl: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, QG, CHUNK), lambda g, s, ch, cl: (g, 0, s), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QG, chunk), lambda g, s, ch, cl: (g, 0, s), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kb, QG), lambda g, s, ch, cl: (g, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -306,11 +316,12 @@ def _sparse_scan(
     )
     return pl.pallas_call(
         partial(
-            _sparse_kernel, kb=kb, accum_steps=accum_steps, cosine=cosine
+            _sparse_kernel, kb=kb, accum_steps=accum_steps, cosine=cosine,
+            chunk=chunk, sel_group=sel_group,
         ),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((G, QG, S * CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((G, QG, S * chunk), jnp.float32),
             jax.ShapeDtypeStruct((G, kb, QG), jnp.int32),
         ],
         interpret=interpret,
@@ -350,7 +361,8 @@ def _coarse_probes(qpad, centroids, nprobe, coarse_cosine, interpret):
     jax.jit,
     static_argnames=(
         "k", "nprobe", "S", "UC", "MC", "nlist",
-        "coarse_cosine", "cosine", "sqrt_out", "interpret",
+        "coarse_cosine", "cosine", "sqrt_out", "chunk", "sel_group",
+        "interpret",
     ),
 )
 def ivf_sparse_pipeline(
@@ -369,12 +381,15 @@ def ivf_sparse_pipeline(
     coarse_cosine: bool = False,
     cosine: bool = False,
     sqrt_out: bool = False,
+    chunk: int = CHUNK,
+    sel_group: int = SEL_GROUP,
     interpret: bool = False,
 ):
     """Block-sparse IVF search, one dispatch for the whole padded batch.
 
     Returns (scores [Qp, k] f32, slots [Qp, k] i32, overflow [G] i32);
-    empty result slots carry (+inf, IDX_SENTINEL).
+    empty result slots carry (+inf, IDX_SENTINEL). `chunk` must match the
+    layout's build_cluster_major chunk size.
     """
     Qp, d = qpad.shape
     G = Qp // QG
@@ -382,7 +397,7 @@ def ivf_sparse_pipeline(
     # block-select exactness bound; guarantee at least kb groups exist by
     # bumping S (extra steps are dead all-inf tiles).
     kb = max(1 << max(k - 1, 1).bit_length(), 8)
-    S = max(S, kb * SEL_GROUP // CHUNK)
+    S = max(S, -(-kb * sel_group // chunk))
     probes = _coarse_probes(qpad, centroids, nprobe, coarse_cosine, interpret)
 
     # sort queries by the spatial key of their nearest centroid so each
@@ -398,28 +413,29 @@ def ivf_sparse_pipeline(
 
     dist, gsel = _sparse_scan(
         qsorted, corpus_t, mask_vec, probes_s, chunk_ids, cluster_ids,
-        threshold, kb=kb, S=S, cosine=cosine, interpret=interpret,
+        threshold, kb=kb, S=S, cosine=cosine, chunk=chunk,
+        sel_group=sel_group, interpret=interpret,
     )
 
     # candidate stage per group (same structure as the flat pipeline)
     def one_group(args):
-        d_g, gsel_g, chunks_g = args                # [QG, S*CHUNK], [kb, QG]
-        ng = S * CHUNK // SEL_GROUP
-        d3 = d_g.reshape(QG, ng, SEL_GROUP)
+        d_g, gsel_g, chunks_g = args                # [QG, S*chunk], [kb, QG]
+        ng = S * chunk // sel_group
+        d3 = d_g.reshape(QG, ng, sel_group)
         sel_q = gsel_g.T                            # [QG, kb]
         cand = jnp.take_along_axis(d3, sel_q[:, :, None], axis=1)
-        cand_cl = cand.reshape(QG, kb * SEL_GROUP).T
+        cand_cl = cand.reshape(QG, kb * sel_group).T
         cidx = (
-            gsel_g[:, None, :] * SEL_GROUP
-            + lax.broadcasted_iota(jnp.int32, (kb, SEL_GROUP, QG), 1)
-        ).reshape(kb * SEL_GROUP, QG)
+            gsel_g[:, None, :] * sel_group
+            + lax.broadcasted_iota(jnp.int32, (kb, sel_group, QG), 1)
+        ).reshape(kb * sel_group, QG)
         fv, fi = topk_cl(cand_cl, cidx, k, interpret=interpret)
         k2 = fv.shape[0]                            # k padded to pow2 >= 8
         fv, fi = fv.T, fi.T                         # [QG, k2]
         # local index -> cluster-major global row -> original slot
-        step = jnp.minimum(fi // CHUNK, S - 1)
-        within = fi % CHUNK
-        grow = chunks_g[step] * CHUNK + within
+        step = jnp.minimum(fi // chunk, S - 1)
+        within = fi % chunk
+        grow = chunks_g[step] * chunk + within
         slot = row_slot[jnp.where(fi == IDX_SENTINEL, 0, grow)]
         slot = jnp.where(
             (fi == IDX_SENTINEL) | (fv == INF), IDX_SENTINEL, slot
