@@ -485,10 +485,18 @@ class IVFIndex(BaseVectorIndex):
         # nprobe; no [Q, N] work, no 2^21 capacity gate). COMET_IVF_SPARSE=0
         # disables; =1 forces it even on small corpora (tests).
         sparse_env = os.environ.get("COMET_IVF_SPARSE", "")
+        # the dense kernel's VMEM stack scales with the padded probe count:
+        # nprobe_pad=64 at TQ=256 overflows the 16M scoped limit (measured),
+        # so high-nprobe searches must take the sparse path
+        npad = max(1 << max(nprobe - 1, 1).bit_length(), 8)
         use_sparse = (
             pallas_available()
             and sparse_env != "0"
-            and (store.capacity >= (1 << 19) or sparse_env == "1")
+            and (
+                store.capacity >= (1 << 19)
+                or sparse_env == "1"
+                or npad > 32
+            )
             and self._nlist >= 8
             and nprobe < self._nlist
         )
@@ -502,6 +510,7 @@ class IVFIndex(BaseVectorIndex):
             and store.capacity % P_TN == 0
             and store.capacity <= (1 << 21)
             and max(k_pad, 8) <= store.capacity // P_GROUP
+            and min(npad, self._nlist) <= 32
         )
         if use_dense:
             cosine = self._distance_kind == DistanceKind.COSINE

@@ -187,3 +187,27 @@ def test_retrain_reassigns(rng):
     idx.train(data)  # retrain
     res = idx.new_search().with_query(data[0]).with_k(3).with_nprobes(1).execute()
     assert res[0].node.id == 1
+
+
+def test_high_nprobe_routes_to_sparse_path(rng):
+    # the dense masked kernel's VMEM stack scales with the padded probe
+    # count and overflows at nprobe_pad=64 (measured on v5e); nprobe > 32
+    # must take the block-sparse path and still match the exact oracle
+    d, nlist = 16, 128
+    data = rng.normal(size=(4096, d)).astype(np.float32)
+    idx = IVFIndex(d, nlist, DistanceKind.L2)
+    idx.train(data)
+    idx.add_batch(data, ids=list(range(len(data))))
+    q = data[7] + 0.01
+    res = (
+        idx.new_search().with_query(q).with_k(10).with_nprobes(64).execute()
+    )
+    assert len(res) == 10
+    ids = [r.get_id() for r in res]
+    assert 7 in ids
+    # full probe (nprobe == nlist) is exact: equals the flat oracle
+    res_full = (
+        idx.new_search().with_query(q).with_k(10).with_nprobes(nlist).execute()
+    )
+    truth = topk_np(distances_np(q[None], data, "l2"), 10)[1][0]
+    assert [r.get_id() for r in res_full] == [int(t) for t in truth]
