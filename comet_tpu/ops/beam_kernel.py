@@ -294,17 +294,26 @@ def _phase_compact(d, s, e, ef):
     return d[:ef], s[:ef], e[:ef]
 
 
-def _phase_select(d, s, e, expand):
+def _phase_select(d, s, e, expand, stop=None):
     """Pick the first `expand` unexpanded rows + the termination flag.
     Returns (oe, misc): misc rows 0..expand-1 = next nodes (-1 none),
-    row `expand` = active flag."""
+    row `expand` = active flag.
+
+    `stop` is the termination bound row (default ef — classic HNSW: run
+    until the best unexpanded is worse than the ef-th best). Seeded
+    searches pass stop ~ next_pow2(k): the beam starts full of true
+    near-neighbors, so the classic bound would force expanding ALL ef
+    seeds; bounding at the k-window row stops once further expansion
+    cannot change the returned top-k."""
     L = d.shape[1]
     ef = d.shape[0]
+    if stop is None:
+        stop = ef
     valid = s != SENT
     unexp = (e == 0) & valid
     ud = jnp.where(unexp, d, INF)
     d_first = jnp.min(ud, axis=0, keepdims=True)          # [1, L]
-    worst = d[ef - 1 : ef]                                # [1, L]
+    worst = d[stop - 1 : stop]                            # [1, L]
     active = (d_first < INF) & (d_first <= worst)         # [1, L]
     rank = _prefix_sum_rows(unexp.astype(jnp.int32))
     sel = unexp & (rank <= expand) & active
@@ -352,6 +361,7 @@ def _phase_result_compact(rdall, rsall, kr):
 
 def _merge_body(
     bd, bs, be, nd, ns, rd, rs, adm, *, ef, ew, expand, fused, kr,
+    stop=None,
 ):
     """The full merge/dedup/compact/select math — runs as ONE fused body
     inside the Pallas kernel on TPU. (The CPU/test path runs the phases as
@@ -361,7 +371,7 @@ def _merge_body(
     d, s, e = _phase_sortkill(bd, bs, be, nd, ns)
     d, s, e = _phase_compact(d, s, e, ef)
     od, osl = d, s
-    oe, misc = _phase_select(d, s, e, expand)
+    oe, misc = _phase_select(d, s, e, expand, stop)
 
     ord_ = ors = None
     if fused:
@@ -373,18 +383,18 @@ def _merge_body(
 # separately-jitted phase modules for the CPU/test path
 _jit_sortkill = jax.jit(_phase_sortkill)
 _jit_compact = jax.jit(_phase_compact, static_argnums=(3,))
-_jit_select = jax.jit(_phase_select, static_argnums=(3,))
+_jit_select = jax.jit(_phase_select, static_argnums=(3, 4))
 _jit_result_sortkill = jax.jit(_phase_result_sortkill)
 _jit_result_compact = jax.jit(_phase_result_compact, static_argnums=(2,))
 
 
-def _merge_kernel(*refs, ef, ew, expand, fused, kr):
+def _merge_kernel(*refs, ef, ew, expand, fused, kr, stop):
     if fused:
         (bd, bs, be, nd, ns, rd, rs, adm,
          od, osl, oe, misc, ord_, ors) = refs
         outs = _merge_body(
             bd[:], bs[:], be[:], nd[:], ns[:], rd[:], rs[:], adm[:],
-            ef=ef, ew=ew, expand=expand, fused=True, kr=kr,
+            ef=ef, ew=ew, expand=expand, fused=True, kr=kr, stop=stop,
         )
         ord_[:] = outs[4]
         ors[:] = outs[5]
@@ -392,7 +402,7 @@ def _merge_kernel(*refs, ef, ew, expand, fused, kr):
         bd, bs, be, nd, ns, od, osl, oe, misc = refs
         outs = _merge_body(
             bd[:], bs[:], be[:], nd[:], ns[:], None, None, None,
-            ef=ef, ew=ew, expand=expand, fused=False, kr=kr,
+            ef=ef, ew=ew, expand=expand, fused=False, kr=kr, stop=stop,
         )
     od[:] = outs[0]
     osl[:] = outs[1]
@@ -405,7 +415,7 @@ def beam_merge_step(
     new_d, new_s,             # [ew, Q]
     res_d=None, res_s=None,   # [kr, Q] (fused only)
     adm=None,                 # [ew, Q] int32 0/1 (fused only)
-    *, ef, ew, expand, fused, kr=0, use_pallas=True,
+    *, ef, ew, expand, fused, kr=0, stop=None, use_pallas=True,
 ):
     """One fused merge/dedup/compact/select step (see module docstring).
 
@@ -422,13 +432,13 @@ def beam_merge_step(
     if use_pallas:
         return _beam_merge_pallas(
             beam_d, beam_s, beam_e, new_d, new_s, res_d, res_s, adm,
-            ef=ef, ew=ew, expand=expand, fused=fused, kr=kr,
+            ef=ef, ew=ew, expand=expand, fused=fused, kr=kr, stop=stop,
         )
     d, s, e = _jit_sortkill(
         beam_d, beam_s, jnp.asarray(beam_e, jnp.int32), new_d, new_s
     )
     d, s, e = _jit_compact(d, s, e, ef)
-    oe, misc = _jit_select(d, s, e, expand)
+    oe, misc = _jit_select(d, s, e, expand, stop)
     if fused:
         ra, rb = _jit_result_sortkill(res_d, res_s, new_d, new_s, adm)
         ord_, ors = _jit_result_compact(ra, rb, kr)
@@ -438,11 +448,11 @@ def beam_merge_step(
 
 @partial(
     jax.jit,
-    static_argnames=("ef", "ew", "expand", "fused", "kr"),
+    static_argnames=("ef", "ew", "expand", "fused", "kr", "stop"),
 )
 def _beam_merge_pallas(
     beam_d, beam_s, beam_e, new_d, new_s, res_d=None, res_s=None, adm=None,
-    *, ef, ew, expand, fused, kr=0,
+    *, ef, ew, expand, fused, kr=0, stop=None,
 ):
     q = beam_d.shape[1]
     grid = (q // LANE,)
@@ -470,7 +480,8 @@ def _beam_merge_pallas(
 
     outs = pl.pallas_call(
         partial(
-            _merge_kernel, ef=ef, ew=ew, expand=expand, fused=fused, kr=kr
+            _merge_kernel, ef=ef, ew=ew, expand=expand, fused=fused, kr=kr,
+            stop=stop,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -488,22 +499,29 @@ def _beam_merge_pallas(
 def beam_search_blocked(
     queries, entry, nbr_vecs, aux, vectors, sqnorms,
     allowed, sq_thresh, ef, k, expand, max_iters, fused,
-    use_pallas: bool = True,
+    use_pallas: bool = True, seeds=None, stop=None,
 ):
     """Blocked-gather lockstep beam search (see _beam_search_jit).
 
     use_pallas=False runs a host-driven python loop over the per-phase CPU
     jit modules instead of one jitted while_loop — functionally identical;
     exists because XLA:CPU cannot compile the fused body (see
-    beam_merge_step)."""
+    beam_merge_step).
+
+    seeds=(seed_d, seed_s) [Q, ef] initializes the beam from an IVF probe
+    scan instead of the entry point (see _search_init); stop overrides the
+    termination bound row (default ef)."""
+    seed_d, seed_s = seeds if seeds is not None else (None, None)
     if use_pallas:
         return _beam_search_jit(
             queries, entry, nbr_vecs, aux, vectors, sqnorms,
             allowed, sq_thresh, ef, k, expand, max_iters, fused,
+            stop, seed_d, seed_s,
         )
     return _beam_search_cpu(
         queries, entry, nbr_vecs, aux, vectors, sqnorms,
         allowed, sq_thresh, ef, k, expand, int(max_iters), fused,
+        stop, seed_d, seed_s,
     )
 
 
@@ -577,10 +595,68 @@ def _gather_score(qb, qn, nbr_vecs, aux, nodes, ew):
 
 
 def _search_init(queries, entry, vectors, sqnorms, allowed, sq_thresh,
-                 ef, expand, fused, kr):
+                 ef, expand, fused, kr, seed_d=None, seed_s=None):
     Q, _ = queries.shape
     qn = jnp.sum(queries * queries, axis=1)
     qb = queries.astype(jnp.bfloat16)
+    if seed_d is not None:
+        # IVF-seeded start: the beam begins as the top candidates of a
+        # cluster-probe scan (ops/ivf_sparse bf16_domain — distances are
+        # bit-equal to in-loop rediscovery so sort-kill dedup holds).
+        # seed_d/seed_s arrive [Q, n_seed] (n_seed <= ef) sorted
+        # (dist, slot) asc with (inf, SENT) padding — the beam's loop
+        # invariant; rows past n_seed start empty. Seeding ~stop rows
+        # instead of ef keeps the probe scan's top-k selection at the
+        # proven flat-pipeline width (kb=128) — the k=256 variant's
+        # 32k-row bitonic costs more than the whole beam loop.
+        n_seed = seed_d.shape[1]
+        beam_d = jnp.asarray(seed_d, jnp.float32).T        # [n_seed, Q]
+        beam_s = jnp.asarray(seed_s, jnp.int32).T
+        if n_seed < ef:
+            beam_d = jnp.concatenate(
+                [beam_d, jnp.full((ef - n_seed, Q), INF, jnp.float32)]
+            )
+            beam_s = jnp.concatenate(
+                [beam_s, jnp.full((ef - n_seed, Q), SENT, jnp.int32)]
+            )
+        # Probe-starved queries (the seed scan's per-group chunk budget can
+        # drop ALL of a query's probes in probe-diverse groups —
+        # ops/ivf_sparse module docstring, divergence b) fall back to the
+        # classic entry start; distance in the bf16 rediscovery domain
+        # (same formula as _gather_score) so the in-loop duplicate dedups.
+        empty = jnp.all(beam_s == SENT, axis=0)            # [Q]
+        ev_b = vectors[entry].astype(jnp.bfloat16)
+        e_ip = jnp.einsum(
+            "qd,qd->q", qb, ev_b, preferred_element_type=jnp.float32
+        )
+        e_d = jnp.maximum(
+            qn
+            + sqnorms[entry].astype(jnp.bfloat16).astype(jnp.float32)
+            - 2.0 * e_ip,
+            0.0,
+        )
+        beam_d = beam_d.at[0].set(jnp.where(empty, e_d, beam_d[0]))
+        beam_s = beam_s.at[0].set(jnp.where(empty, entry, beam_s[0]))
+        valid0 = beam_s != SENT
+        first_e = (
+            lax.broadcasted_iota(jnp.int32, (ef, Q), 0) < expand
+        ) & valid0
+        beam_e = first_e.astype(jnp.int32)
+        nodes = jnp.where(first_e[:expand], beam_s[:expand], -1)
+        if fused:
+            adm0 = (
+                valid0
+                & allowed[jnp.where(valid0, beam_s, 0)]
+                & (beam_d <= sq_thresh)
+            ).astype(jnp.int32)
+            rd0 = jnp.full((kr, Q), INF, jnp.float32)
+            rs0 = jnp.full((kr, Q), SENT, jnp.int32)
+            ra, rb = _phase_result_sortkill(rd0, rs0, beam_d, beam_s, adm0)
+            res_d, res_s = _phase_result_compact(ra, rb, kr)
+        else:
+            res_d = jnp.zeros((1, Q), jnp.float32)
+            res_s = jnp.zeros((1, Q), jnp.int32)
+        return qn, qb, beam_d, beam_s, beam_e, nodes, res_d, res_s
     ev = vectors[entry]
     e_d = jnp.maximum(
         qn + sqnorms[entry]
@@ -651,7 +727,7 @@ def _search_finalize(queries, qn, vectors, sqnorms, allowed, sq_thresh,
 
 def _beam_search_cpu(queries, entry, nbr_vecs, aux, vectors,
                      sqnorms, allowed, sq_thresh, ef, k, expand, max_iters,
-                     fused):
+                     fused, stop=None, seed_d=None, seed_s=None):
     """Host-driven loop for the CPU/test backend; same math as
     _beam_search_jit, phases compiled as separate XLA modules."""
     queries = jnp.asarray(queries, jnp.float32)
@@ -664,7 +740,7 @@ def _beam_search_cpu(queries, entry, nbr_vecs, aux, vectors,
     kr = _next_pow2(max(2 * k, 64)) if fused else 0
     qn, qb, beam_d, beam_s, beam_e, nodes, res_d, res_s = _search_init(
         queries, entry, vectors, sqnorms, allowed, sq_thresh,
-        ef, expand, fused, kr,
+        ef, expand, fused, kr, seed_d, seed_s,
     )
     for _ in range(int(max_iters)):
         nd, ns, ok = _gather_score(qb, qn, nbr_vecs, aux, nodes, ew)
@@ -676,7 +752,7 @@ def _beam_search_cpu(queries, entry, nbr_vecs, aux, vectors,
             ).astype(jnp.int32)
         beam_d, beam_s, beam_e, misc, res_d2, res_s2 = beam_merge_step(
             beam_d, beam_s, beam_e, nd, ns, res_d, res_s, adm,
-            ef=ef, ew=ew, expand=expand, fused=fused, kr=kr,
+            ef=ef, ew=ew, expand=expand, fused=fused, kr=kr, stop=stop,
             use_pallas=False,
         )
         if fused:
@@ -693,7 +769,7 @@ def _beam_search_cpu(queries, entry, nbr_vecs, aux, vectors,
 
 @partial(
     jax.jit,
-    static_argnames=("ef", "k", "expand", "fused"),
+    static_argnames=("ef", "k", "expand", "fused", "stop"),
 )
 def _beam_search_jit(
     queries,     # [Q, d] f32 preprocessed, Q % LANE == 0
@@ -710,6 +786,9 @@ def _beam_search_jit(
     max_iters,            # DYNAMIC: appears only in the loop bound, so a
                           # traced scalar avoids a recompile per sweep value
     fused: bool,
+    stop: int | None = None,
+    seed_d=None,          # [Q, ef] f32 bf16-domain seed distances, or None
+    seed_s=None,          # [Q, ef] i32 seed slots (SENT padding), or None
 ):
     """Blocked-gather lockstep beam search, one dispatch (TPU).
 
@@ -726,7 +805,7 @@ def _beam_search_jit(
 
     qn, qb, beam_d, beam_s, beam_e, nodes, res_d, res_s = _search_init(
         queries, entry, vectors, sqnorms, allowed, sq_thresh,
-        ef, expand, fused, kr,
+        ef, expand, fused, kr, seed_d, seed_s,
     )
     max_iters = jnp.asarray(max_iters, jnp.int32)
 
@@ -745,7 +824,7 @@ def _beam_search_jit(
             ).astype(jnp.int32)
         beam_d, beam_s, beam_e, misc, res_d2, res_s2 = beam_merge_step(
             beam_d, beam_s, beam_e, nd, ns, res_d, res_s, adm,
-            ef=ef, ew=ew, expand=expand, fused=fused, kr=kr,
+            ef=ef, ew=ew, expand=expand, fused=fused, kr=kr, stop=stop,
             use_pallas=True,
         )
         if fused:

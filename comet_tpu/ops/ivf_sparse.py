@@ -194,7 +194,7 @@ def _group_chunk_lists(
 
 def _sparse_kernel(
     chunk_ids_ref, cluster_ids_ref,   # scalar-prefetch [G, S] i32
-    q_ref,        # [QG, d] f32 (this group's queries)
+    q_ref,        # [QG, d] f32 (this group's queries; bf16 in bf16_domain)
     qn_ref,       # [QG, 1] f32
     x_ref,        # [d, chunk] corpus chunk (transposed, cluster-major)
     xm_ref,       # [1, chunk] f32 additive mask (sqnorms / 0, +inf invalid)
@@ -203,7 +203,7 @@ def _sparse_kernel(
     dist_ref,     # out [1, QG, chunk] f32
     gsel_ref,     # out [1, kb, QG] i32
     buf_v, buf_i,  # scratch [(kb + accum), QG]
-    *, kb, accum_steps, cosine, chunk, sel_group,
+    *, kb, accum_steps, cosine, chunk, sel_group, bf16_domain,
 ):
     g = pl.program_id(0)
     s = pl.program_id(1)
@@ -214,7 +214,10 @@ def _sparse_kernel(
         q_ref[:], x_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
+        # bf16_domain reproduces the HNSW routing kernel's bf16 MXU pass
+        # (ops/beam_kernel._gather_score) so seed distances are bit-equal
+        # to in-loop rediscovery distances — required by sort-kill dedup
+        precision=None if bf16_domain else lax.Precision.HIGHEST,
     )                                                   # [QG, CHUNK]
     if cosine:
         dist = 1.0 - jnp.clip(ip, -1.0, 1.0) + xm_ref[:]
@@ -268,11 +271,14 @@ def _sparse_kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("kb", "S", "cosine", "chunk", "sel_group", "interpret"),
+    static_argnames=(
+        "kb", "S", "cosine", "chunk", "sel_group", "bf16_domain", "interpret"
+    ),
 )
 def _sparse_scan(
     qsorted: jax.Array,      # [Q, d] f32 (query-sorted), Q % QG == 0
-    corpus_t: jax.Array,     # [d, NR] f32 cluster-major transposed
+    corpus_t: jax.Array,     # [d, NR] cluster-major transposed (f32, or
+                             #   bf16 when bf16_domain)
     mask_vec: jax.Array,     # [NR] f32 additive mask (+inf invalid/padding)
     probes: jax.Array,       # [Q, P] i32
     chunk_ids: jax.Array,    # [G, S] i32
@@ -282,13 +288,17 @@ def _sparse_scan(
     cosine: bool = False,
     chunk: int = CHUNK,
     sel_group: int = SEL_GROUP,
+    bf16_domain: bool = False,
     interpret: bool = False,
 ):
     """Returns (dist [G, QG, S*chunk] f32, gsel [G, kb, QG] i32)."""
     Q, d = qsorted.shape
     G = Q // QG
     P = probes.shape[1]
+    # qn stays f32 (matches beam_kernel._gather_score's f32 query norms)
     qn = jnp.sum(qsorted * qsorted, axis=1, keepdims=True)
+    if bf16_domain:
+        qsorted = qsorted.astype(jnp.bfloat16)
     xm2d = mask_vec[None, :]
     thr2d = threshold.reshape(1, 1)
     new_per_step = chunk // sel_group
@@ -317,7 +327,7 @@ def _sparse_scan(
     return pl.pallas_call(
         partial(
             _sparse_kernel, kb=kb, accum_steps=accum_steps, cosine=cosine,
-            chunk=chunk, sel_group=sel_group,
+            chunk=chunk, sel_group=sel_group, bf16_domain=bf16_domain,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -362,12 +372,13 @@ def _coarse_probes(qpad, centroids, nprobe, coarse_cosine, interpret):
     static_argnames=(
         "k", "nprobe", "S", "UC", "MC", "nlist",
         "coarse_cosine", "cosine", "sqrt_out", "chunk", "sel_group",
-        "interpret",
+        "bf16_domain", "interpret",
     ),
 )
 def ivf_sparse_pipeline(
     qpad: jax.Array,         # [Qp, d] f32 preprocessed, Qp % QG == 0
-    corpus_t: jax.Array,     # [d, NR] f32 cluster-major transposed
+    corpus_t: jax.Array,     # [d, NR] cluster-major transposed (f32; bf16
+                             #   when bf16_domain — HNSW seed scans)
     mask_vec: jax.Array,     # [NR] f32 additive mask (+inf invalid/padding)
     row_slot: jax.Array,     # [NR] i32 original slot per row (-1 padding)
     threshold: jax.Array,    # scalar f32 (squared domain for L2)
@@ -383,13 +394,16 @@ def ivf_sparse_pipeline(
     sqrt_out: bool = False,
     chunk: int = CHUNK,
     sel_group: int = SEL_GROUP,
+    bf16_domain: bool = False,
     interpret: bool = False,
 ):
     """Block-sparse IVF search, one dispatch for the whole padded batch.
 
     Returns (scores [Qp, k] f32, slots [Qp, k] i32, overflow [G] i32);
     empty result slots carry (+inf, IDX_SENTINEL). `chunk` must match the
-    layout's build_cluster_major chunk size.
+    layout's build_cluster_major chunk size. bf16_domain scores in the
+    HNSW routing kernel's bf16 distance domain (corpus_t/mask_vec must be
+    bf16-cast values) so results can seed beam searches.
     """
     Qp, d = qpad.shape
     G = Qp // QG
@@ -414,7 +428,7 @@ def ivf_sparse_pipeline(
     dist, gsel = _sparse_scan(
         qsorted, corpus_t, mask_vec, probes_s, chunk_ids, cluster_ids,
         threshold, kb=kb, S=S, cosine=cosine, chunk=chunk,
-        sel_group=sel_group, interpret=interpret,
+        sel_group=sel_group, bf16_domain=bf16_domain, interpret=interpret,
     )
 
     # candidate stage per group (same structure as the flat pipeline)
