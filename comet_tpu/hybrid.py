@@ -33,7 +33,7 @@ from comet_tpu.types import (
 )
 
 MAGIC = b"CHYB"
-VERSION = 1
+VERSION = 2  # v2: CRC32 payload trailer (v1 readable, no trailer check)
 
 
 @dataclass
@@ -310,14 +310,15 @@ class HybridSearchIndex:
         Flushes soft deletes first."""
         with self._lock:
             self.flush()
-            serial.write_magic(hybrid_w, MAGIC, VERSION)
+            w = serial.CrcWriter(hybrid_w)
+            serial.write_magic(w, MAGIC, VERSION)
             serial.write_u32(
-                hybrid_w,
+                w,
                 (1 if self._vector is not None else 0)
                 | (2 if self._text is not None else 0)
                 | (4 if self._metadata is not None else 0),
             )
-            serial.write_u64(hybrid_w, len(self._doc_info))
+            serial.write_u64(w, len(self._doc_info))
             for doc_id in sorted(self._doc_info):
                 info = self._doc_info[doc_id]
                 flags = (
@@ -325,8 +326,9 @@ class HybridSearchIndex:
                     | (2 if info.has_text else 0)
                     | (4 if info.has_metadata else 0)
                 )
-                serial.write_u32(hybrid_w, doc_id)
-                serial.write_u32(hybrid_w, flags)
+                serial.write_u32(w, doc_id)
+                serial.write_u32(w, flags)
+            w.seal()
             if self._vector is not None:
                 self._vector.write_to(self._require(vector_w, "vector writer"))
             if self._text is not None:
@@ -341,17 +343,20 @@ class HybridSearchIndex:
         text_r: BinaryIO | None = None,
         metadata_r: BinaryIO | None = None,
     ) -> None:
-        serial.read_magic(hybrid_r, MAGIC, VERSION)
-        present = serial.read_u32(hybrid_r)
-        n = serial.read_u64(hybrid_r)
+        r = serial.CrcReader(hybrid_r)
+        version = serial.read_magic(r, MAGIC, VERSION)
+        present = serial.read_u32(r)
+        n = serial.read_u64(r)
         with self._lock:
             doc_info: dict[int, _DocInfo] = {}
             for _ in range(n):
-                doc_id = serial.read_u32(hybrid_r)
-                flags = serial.read_u32(hybrid_r)
+                doc_id = serial.read_u32(r)
+                flags = serial.read_u32(r)
                 doc_info[doc_id] = _DocInfo(
                     bool(flags & 1), bool(flags & 2), bool(flags & 4)
                 )
+            if version >= 2:
+                r.verify()
             if present & 1:
                 self._require(self._vector, "vector").read_from(
                     self._require(vector_r, "vector reader")

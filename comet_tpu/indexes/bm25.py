@@ -49,7 +49,7 @@ from comet_tpu.types import (
 MAGIC = b"CB25"
 # v2: explicit per-doc token lists (v1 joined tokens with " " and
 # re-tokenized on load — lossy once whitespace runs are themselves tokens)
-VERSION = 2
+VERSION = 3  # v3: CRC32 payload trailer (v2 readable, no trailer check)
 
 K1 = 1.2  # bm25_index.go:75-80
 B = 0.75
@@ -327,6 +327,12 @@ class BM25SearchIndex:
             np.concatenate(parts_t) if parts_t else np.zeros(0, dtype=np.float32)
         )
         max_doc = int(max(self._doc_len)) if self._doc_len else 0
+        if max_doc >= 1 << 31:
+            # doc ids past int32 would wrap in the native arrays; disable
+            # the native path rather than score (or index) garbage
+            self._host = (None, None, None, None)
+            self._host_version = self._len_version
+            return self._host
         n_pad = ((max_doc + 1 + 63) // 64) * 64
         doc_len = np.zeros(n_pad, dtype=np.float32)
         dl = self._doc_len_array()
@@ -347,6 +353,8 @@ class BM25SearchIndex:
         if not native.available():
             return None
         docs, tfs, ranges, doc_len = self._host_postings()
+        if docs is None:  # doc ids exceed the native int32 range
+            return None
         n = float(self._num_docs)
         avgdl = self._total_tokens / n
 
@@ -537,25 +545,33 @@ class BM25SearchIndex:
         Flushes soft deletes first."""
         with self._lock:
             self.flush()
-            serial.write_magic(f, MAGIC, VERSION)
-            serial.write_u64(f, len(self._doc_tokens))
+            w = serial.CrcWriter(f)
+            serial.write_magic(w, MAGIC, VERSION)
+            serial.write_u64(w, len(self._doc_tokens))
             for doc_id in sorted(self._doc_tokens):
-                serial.write_u32(f, doc_id)
+                serial.write_u32(w, doc_id)
                 tokens = self._doc_tokens[doc_id]
-                serial.write_u32(f, len(tokens))
+                serial.write_u32(w, len(tokens))
                 for t in tokens:
-                    serial.write_str(f, t)
+                    serial.write_str(w, t)
+            w.seal()
 
     def read_from(self, f: BinaryIO) -> None:
-        serial.read_magic(f, MAGIC, VERSION)
-        n = serial.read_u64(f)
+        r = serial.CrcReader(f)
+        version = serial.read_magic(r, MAGIC, VERSION)
+        n = serial.read_u64(r)
+        docs = []
+        for _ in range(n):
+            doc_id = serial.read_u32(r)
+            ntok = serial.read_u32(r)
+            docs.append((doc_id, [serial.read_str(r) for _ in range(ntok)]))
+        if version >= 3:
+            r.verify()
         with self._lock:
             wordlike = self._wordlike_only
             self.__init__(wordlike_only=wordlike)
-            for _ in range(n):
-                doc_id = serial.read_u32(f)
-                ntok = serial.read_u32(f)
-                self._add_tokens(doc_id, [serial.read_str(f) for _ in range(ntok)])
+            for doc_id, tokens in docs:
+                self._add_tokens(doc_id, tokens)
 
 
 def _bm25_device_kernel(

@@ -37,7 +37,7 @@ from comet_tpu.ops.topk import IDX_SENTINEL, block_topk
 from comet_tpu.types import DistanceKind, InvalidConfigError, VectorIndexKind
 
 MAGIC = b"CFLT"
-VERSION = 1
+VERSION = 2  # v2: CRC32 payload trailer (v1 readable, no trailer check)
 
 # Default corpus tile for the streaming scan: 128k rows x 128 dims x 4 B
 # = 64 MB of HBM traffic per tile step at d=128; queries stay VMEM-resident.
@@ -264,20 +264,23 @@ class FlatIndex(BaseVectorIndex):
         (flat_index.go:366-369). Format: CFLT v1 header + params + arrays."""
         with self._lock:
             self._store.flush()
-            serial.write_magic(f, MAGIC, VERSION)
-            serial.write_str(f, self._distance_kind.value)
-            serial.write_u32(f, self._dim)
+            w = serial.CrcWriter(f)
+            serial.write_magic(w, MAGIC, VERSION)
+            serial.write_str(w, self._distance_kind.value)
+            serial.write_u32(w, self._dim)
             n = self._store.n
-            serial.write_u64(f, n)
-            serial.write_array(f, self._store.ids[:n])
-            serial.write_array(f, self._store.vectors[:n])
+            serial.write_u64(w, n)
+            serial.write_array(w, self._store.ids[:n])
+            serial.write_array(w, self._store.vectors[:n])
+            w.seal()
 
     def read_from(self, f: BinaryIO) -> None:
         """Deserialize into this index; stored params must match the
         receiving index's params (parity: flat_index.go ReadFrom validation)."""
-        serial.read_magic(f, MAGIC, VERSION)
-        kind = DistanceKind(serial.read_str(f))
-        dim = serial.read_u32(f)
+        r = serial.CrcReader(f)
+        version = serial.read_magic(r, MAGIC, VERSION)
+        kind = DistanceKind(serial.read_str(r))
+        dim = serial.read_u32(r)
         if kind != self._distance_kind:
             raise serial.SerializationError(
                 f"distance kind mismatch: index={self._distance_kind.value}, stored={kind.value}"
@@ -286,9 +289,11 @@ class FlatIndex(BaseVectorIndex):
             raise serial.SerializationError(
                 f"dimension mismatch: index={self._dim}, stored={dim}"
             )
-        n = serial.read_u64(f)
-        ids = serial.read_array(f)
-        vectors = serial.read_array(f)
+        n = serial.read_u64(r)
+        ids = serial.read_array(r)
+        vectors = serial.read_array(r)
+        if version >= 2:
+            r.verify()
         if len(ids) != n or vectors.shape != (n, dim):
             raise serial.SerializationError("corrupt flat index payload")
         with self._lock:

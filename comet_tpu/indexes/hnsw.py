@@ -57,7 +57,7 @@ from comet_tpu.types import (
 )
 
 MAGIC = b"CHNW"
-VERSION = 1
+VERSION = 2  # v2: CRC32 payload trailer (v1 readable, no trailer check)
 
 MAX_LEVEL = 16  # hnsw_index.go:474-484 cap
 HNSW_QUERY_CHUNK = 256
@@ -1067,32 +1067,35 @@ class HNSWIndex(BaseVectorIndex):
         with self._lock:
             self.flush()
             n = self._store.n
-            serial.write_magic(f, MAGIC, VERSION)
-            serial.write_str(f, self._distance_kind.value)
-            serial.write_u32(f, self._dim)
-            serial.write_u32(f, self._cfg.m)
-            serial.write_u32(f, self._cfg.ef_construction)
-            serial.write_u32(f, self._cfg.ef_search)
-            serial.write_i64(f, self._entry_slot)
-            serial.write_i64(f, self._max_level)
-            serial.write_u64(f, n)
-            serial.write_array(f, self._store.ids[:n])
-            serial.write_array(f, self._store.vectors[:n])
-            serial.write_array(f, self._levels[:n])
-            serial.write_array(f, self._adj0[:n])
-            serial.write_u32(f, len(self._upper))
+            w = serial.CrcWriter(f)
+            serial.write_magic(w, MAGIC, VERSION)
+            serial.write_str(w, self._distance_kind.value)
+            serial.write_u32(w, self._dim)
+            serial.write_u32(w, self._cfg.m)
+            serial.write_u32(w, self._cfg.ef_construction)
+            serial.write_u32(w, self._cfg.ef_search)
+            serial.write_i64(w, self._entry_slot)
+            serial.write_i64(w, self._max_level)
+            serial.write_u64(w, n)
+            serial.write_array(w, self._store.ids[:n])
+            serial.write_array(w, self._store.vectors[:n])
+            serial.write_array(w, self._levels[:n])
+            serial.write_array(w, self._adj0[:n])
+            serial.write_u32(w, len(self._upper))
             for lvl in sorted(self._upper):
-                serial.write_u32(f, lvl)
-                serial.write_array(f, self._upper[lvl][:n])
+                serial.write_u32(w, lvl)
+                serial.write_array(w, self._upper[lvl][:n])
+            w.seal()
 
     def read_from(self, f: BinaryIO) -> None:
         self._graph_version += 1
-        serial.read_magic(f, MAGIC, VERSION)
-        kind = DistanceKind(serial.read_str(f))
-        dim = serial.read_u32(f)
-        m = serial.read_u32(f)
-        efc = serial.read_u32(f)
-        efs = serial.read_u32(f)
+        r = serial.CrcReader(f)
+        version = serial.read_magic(r, MAGIC, VERSION)
+        kind = DistanceKind(serial.read_str(r))
+        dim = serial.read_u32(r)
+        m = serial.read_u32(r)
+        efc = serial.read_u32(r)
+        efs = serial.read_u32(r)
         if kind != self._distance_kind or dim != self._dim:
             raise serial.SerializationError(
                 f"param mismatch: index=({self._distance_kind.value}, dim={self._dim}), "
@@ -1103,18 +1106,27 @@ class HNSWIndex(BaseVectorIndex):
                 f"HNSW param mismatch: index=(M={self._cfg.m}, efC={self._cfg.ef_construction}), "
                 f"stored=(M={m}, efC={efc})"
             )
-        entry = serial.read_i64(f)
-        max_level = serial.read_i64(f)
-        n = serial.read_u64(f)
-        ids = serial.read_array(f)
-        vectors = serial.read_array(f)
-        levels = serial.read_array(f)
-        adj0 = serial.read_array(f)
-        n_upper = serial.read_u32(f)
+        entry = serial.read_i64(r)
+        max_level = serial.read_i64(r)
+        n = serial.read_u64(r)
+        ids = serial.read_array(r)
+        vectors = serial.read_array(r)
+        levels = serial.read_array(r)
+        adj0 = serial.read_array(r)
+        n_upper = serial.read_u32(r)
         upper = {}
         for _ in range(n_upper):
-            lvl = serial.read_u32(f)
-            upper[lvl] = serial.read_array(f)
+            lvl = serial.read_u32(r)
+            upper[lvl] = serial.read_array(r)
+        if version >= 2:
+            r.verify()
+        if (
+            len(ids) != n
+            or vectors.shape != (n, dim)
+            or len(levels) != n
+            or adj0.shape != (n, 2 * m)
+        ):
+            raise serial.SerializationError("corrupt HNSW index payload")
         with self._lock:
             from comet_tpu.indexes.base import SlotStore
 

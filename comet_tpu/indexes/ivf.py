@@ -51,7 +51,7 @@ from comet_tpu.types import (
 )
 
 MAGIC = b"CIVF"
-VERSION = 1
+VERSION = 2  # v2: CRC32 payload trailer (v1 readable, no trailer check)
 
 IVF_QUERY_CHUNK = 256
 LIST_CHUNK = 256  # inverted-list rows per fixed-size chunk
@@ -561,24 +561,27 @@ class IVFIndex(BaseVectorIndex):
         """CIVF v1: params + centroids + ids/vectors/assignments (flushed)."""
         with self._lock:
             self.flush()
-            serial.write_magic(f, MAGIC, VERSION)
-            serial.write_str(f, self._distance_kind.value)
-            serial.write_u32(f, self._dim)
-            serial.write_u32(f, self._nlist)
-            serial.write_u32(f, 1 if self._trained else 0)
+            w = serial.CrcWriter(f)
+            serial.write_magic(w, MAGIC, VERSION)
+            serial.write_str(w, self._distance_kind.value)
+            serial.write_u32(w, self._dim)
+            serial.write_u32(w, self._nlist)
+            serial.write_u32(w, 1 if self._trained else 0)
             if self._trained:
-                serial.write_array(f, self._centroids)
+                serial.write_array(w, self._centroids)
             n = self._store.n
-            serial.write_u64(f, n)
-            serial.write_array(f, self._store.ids[:n])
-            serial.write_array(f, self._store.vectors[:n])
-            serial.write_array(f, self._assign[:n])
+            serial.write_u64(w, n)
+            serial.write_array(w, self._store.ids[:n])
+            serial.write_array(w, self._store.vectors[:n])
+            serial.write_array(w, self._assign[:n])
+            w.seal()
 
     def read_from(self, f: BinaryIO) -> None:
-        serial.read_magic(f, MAGIC, VERSION)
-        kind = DistanceKind(serial.read_str(f))
-        dim = serial.read_u32(f)
-        nlist = serial.read_u32(f)
+        r = serial.CrcReader(f)
+        version = serial.read_magic(r, MAGIC, VERSION)
+        kind = DistanceKind(serial.read_str(r))
+        dim = serial.read_u32(r)
+        nlist = serial.read_u32(r)
         if kind != self._distance_kind:
             raise serial.SerializationError(
                 f"distance kind mismatch: index={self._distance_kind.value}, stored={kind.value}"
@@ -587,12 +590,16 @@ class IVFIndex(BaseVectorIndex):
             raise serial.SerializationError(f"dimension mismatch: index={self._dim}, stored={dim}")
         if nlist != self._nlist:
             raise serial.SerializationError(f"nlist mismatch: index={self._nlist}, stored={nlist}")
-        trained = bool(serial.read_u32(f))
-        centroids = serial.read_array(f) if trained else None
-        n = serial.read_u64(f)
-        ids = serial.read_array(f)
-        vectors = serial.read_array(f)
-        assign = serial.read_array(f)
+        trained = bool(serial.read_u32(r))
+        centroids = serial.read_array(r) if trained else None
+        n = serial.read_u64(r)
+        ids = serial.read_array(r)
+        vectors = serial.read_array(r)
+        assign = serial.read_array(r)
+        if version >= 2:
+            r.verify()
+        if len(ids) != n or vectors.shape != (n, dim) or len(assign) != n:
+            raise serial.SerializationError("corrupt IVF index payload")
         with self._lock:
             self._store = type(self._store)(dim, capacity=max(n, 1))
             self._assign = np.full(self._store.capacity, -1, dtype=np.int32)

@@ -56,7 +56,7 @@ from comet_tpu.types import (
 )
 
 MAGIC = b"CIPQ"
-VERSION = 1
+VERSION = 2  # v2: CRC32 payload trailer (v1 readable, no trailer check)
 
 IVFPQ_QUERY_CHUNK = 256
 
@@ -562,34 +562,37 @@ class IVFPQIndex(BaseVectorIndex):
         """CIPQ v1: params + centroids + codebooks + ids/codes/assignments."""
         with self._lock:
             self.flush()
-            serial.write_magic(f, MAGIC, VERSION)
-            serial.write_str(f, self._distance_kind.value)
-            serial.write_u32(f, self._dim)
-            serial.write_u32(f, self._nlist)
-            serial.write_u32(f, self._m)
-            serial.write_u32(f, self._nbits)
-            serial.write_u32(f, 1 if self._store_originals else 0)
-            serial.write_u32(f, 1 if self._trained else 0)
+            w = serial.CrcWriter(f)
+            serial.write_magic(w, MAGIC, VERSION)
+            serial.write_str(w, self._distance_kind.value)
+            serial.write_u32(w, self._dim)
+            serial.write_u32(w, self._nlist)
+            serial.write_u32(w, self._m)
+            serial.write_u32(w, self._nbits)
+            serial.write_u32(w, 1 if self._store_originals else 0)
+            serial.write_u32(w, 1 if self._trained else 0)
             if self._trained:
-                serial.write_array(f, self._centroids)
-                serial.write_array(f, self._codebooks)
+                serial.write_array(w, self._centroids)
+                serial.write_array(w, self._codebooks)
             n = self._store.n
-            serial.write_u64(f, n)
-            serial.write_array(f, self._store.ids[:n])
+            serial.write_u64(w, n)
+            serial.write_array(w, self._store.ids[:n])
             code_dtype = np.uint8 if self._nbits <= 8 else np.uint32
-            serial.write_array(f, self._codes[:n].astype(code_dtype))
-            serial.write_array(f, self._assign[:n])
+            serial.write_array(w, self._codes[:n].astype(code_dtype))
+            serial.write_array(w, self._assign[:n])
             if self._store_originals:
-                serial.write_array(f, self._store.vectors[:n])
+                serial.write_array(w, self._store.vectors[:n])
+            w.seal()
 
     def read_from(self, f: BinaryIO) -> None:
-        serial.read_magic(f, MAGIC, VERSION)
-        kind = DistanceKind(serial.read_str(f))
-        dim = serial.read_u32(f)
-        nlist = serial.read_u32(f)
-        m = serial.read_u32(f)
-        nbits = serial.read_u32(f)
-        store_originals = bool(serial.read_u32(f))
+        r = serial.CrcReader(f)
+        version = serial.read_magic(r, MAGIC, VERSION)
+        kind = DistanceKind(serial.read_str(r))
+        dim = serial.read_u32(r)
+        nlist = serial.read_u32(r)
+        m = serial.read_u32(r)
+        nbits = serial.read_u32(r)
+        store_originals = bool(serial.read_u32(r))
         if kind != self._distance_kind or dim != self._dim:
             raise serial.SerializationError(
                 f"param mismatch: index=({self._distance_kind.value}, dim={self._dim}), "
@@ -600,14 +603,18 @@ class IVFPQIndex(BaseVectorIndex):
                 f"IVFPQ param mismatch: index=(nlist={self._nlist}, M={self._m}, "
                 f"Nbits={self._nbits}), stored=(nlist={nlist}, M={m}, Nbits={nbits})"
             )
-        trained = bool(serial.read_u32(f))
-        centroids = serial.read_array(f) if trained else None
-        codebooks = serial.read_array(f) if trained else None
-        n = serial.read_u64(f)
-        ids = serial.read_array(f)
-        codes = serial.read_array(f)
-        assign = serial.read_array(f)
-        vectors = serial.read_array(f) if store_originals else None
+        trained = bool(serial.read_u32(r))
+        centroids = serial.read_array(r) if trained else None
+        codebooks = serial.read_array(r) if trained else None
+        n = serial.read_u64(r)
+        ids = serial.read_array(r)
+        codes = serial.read_array(r)
+        assign = serial.read_array(r)
+        vectors = serial.read_array(r) if store_originals else None
+        if version >= 2:
+            r.verify()
+        if len(ids) != n or codes.shape != (n, m) or len(assign) != n:
+            raise serial.SerializationError("corrupt IVFPQ index payload")
         with self._lock:
             from comet_tpu.indexes.base import SlotStore
 

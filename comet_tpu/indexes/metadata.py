@@ -37,7 +37,7 @@ from comet_tpu.ops.bitset import BSI, Bitset
 from comet_tpu.types import InvalidConfigError
 
 MAGIC = b"CMTX"
-VERSION = 1
+VERSION = 2  # v2: CRC32 payload trailer (v1 readable, no trailer check)
 
 FIXED_POINT_SCALE = 100  # float -> int64(v*100), metadata_index.go:142-143
 
@@ -563,35 +563,45 @@ class RoaringMetadataIndex:
     def write_to(self, f: BinaryIO) -> None:
         """CMTX v1: all-docs words + categorical planes + numeric values."""
         with self._lock:
-            serial.write_magic(f, MAGIC, VERSION)
-            serial.write_array(f, self._all_docs.words)
-            serial.write_u32(f, len(self._categorical))
+            w = serial.CrcWriter(f)
+            serial.write_magic(w, MAGIC, VERSION)
+            serial.write_array(w, self._all_docs.words)
+            serial.write_u32(w, len(self._categorical))
             for key in sorted(self._categorical):
-                serial.write_str(f, key)
-                serial.write_array(f, self._categorical[key].words)
-            serial.write_u32(f, len(self._numeric))
+                serial.write_str(w, key)
+                serial.write_array(w, self._categorical[key].words)
+            serial.write_u32(w, len(self._numeric))
             for field_name in sorted(self._numeric):
                 bsi = self._numeric[field_name]
-                serial.write_str(f, field_name)
+                serial.write_str(w, field_name)
                 docs, vals = bsi.doc_values()
-                serial.write_array(f, docs.astype(np.uint64))
-                serial.write_array(f, vals)
+                serial.write_array(w, docs.astype(np.uint64))
+                serial.write_array(w, vals)
+            w.seal()
 
     def read_from(self, f: BinaryIO) -> None:
-        serial.read_magic(f, MAGIC, VERSION)
+        r = serial.CrcReader(f)
+        version = serial.read_magic(r, MAGIC, VERSION)
+        all_docs = serial.read_array(r).astype(np.uint64)
+        categorical = {}
+        n_cat = serial.read_u32(r)
+        for _ in range(n_cat):
+            key = serial.read_str(r)
+            categorical[key] = serial.read_array(r).astype(np.uint64)
+        numeric = {}
+        n_num = serial.read_u32(r)
+        for _ in range(n_num):
+            field_name = serial.read_str(r)
+            docs = serial.read_array(r)
+            vals = serial.read_array(r)
+            numeric[field_name] = (docs, vals)
+        if version >= 2:
+            r.verify()
         with self._lock:
-            self._all_docs = Bitset(serial.read_array(f).astype(np.uint64))
-            self._categorical = {}
-            n_cat = serial.read_u32(f)
-            for _ in range(n_cat):
-                key = serial.read_str(f)
-                self._categorical[key] = Bitset(serial.read_array(f).astype(np.uint64))
+            self._all_docs = Bitset(all_docs)
+            self._categorical = {k: Bitset(v) for k, v in categorical.items()}
             self._numeric = {}
-            n_num = serial.read_u32(f)
-            for _ in range(n_num):
-                field_name = serial.read_str(f)
-                docs = serial.read_array(f)
-                vals = serial.read_array(f)
+            for field_name, (docs, vals) in numeric.items():
                 bsi = BSI()
                 bsi.set_values(docs, vals)
                 self._numeric[field_name] = bsi

@@ -50,7 +50,7 @@ from comet_tpu.types import (
 )
 
 MAGIC = b"CPQX"
-VERSION = 1
+VERSION = 2  # v2: CRC32 payload trailer (v1 readable, no trailer check)
 
 PQ_QUERY_CHUNK = 256
 
@@ -338,26 +338,29 @@ class PQIndex(BaseVectorIndex):
         """CPQX v1: params + codebooks + ids/codes (flushed)."""
         with self._lock:
             self.flush()
-            serial.write_magic(f, MAGIC, VERSION)
-            serial.write_str(f, self._distance_kind.value)
-            serial.write_u32(f, self._dim)
-            serial.write_u32(f, self._m)
-            serial.write_u32(f, self._nbits)
-            serial.write_u32(f, 1 if self._trained else 0)
+            w = serial.CrcWriter(f)
+            serial.write_magic(w, MAGIC, VERSION)
+            serial.write_str(w, self._distance_kind.value)
+            serial.write_u32(w, self._dim)
+            serial.write_u32(w, self._m)
+            serial.write_u32(w, self._nbits)
+            serial.write_u32(w, 1 if self._trained else 0)
             if self._trained:
-                serial.write_array(f, self._codebooks)
+                serial.write_array(w, self._codebooks)
             n = self._store.n
-            serial.write_u64(f, n)
-            serial.write_array(f, self._store.ids[:n])
+            serial.write_u64(w, n)
+            serial.write_array(w, self._store.ids[:n])
             code_dtype = np.uint8 if self._nbits <= 8 else np.uint32
-            serial.write_array(f, self._codes[:n].astype(code_dtype))
+            serial.write_array(w, self._codes[:n].astype(code_dtype))
+            w.seal()
 
     def read_from(self, f: BinaryIO) -> None:
-        serial.read_magic(f, MAGIC, VERSION)
-        kind = DistanceKind(serial.read_str(f))
-        dim = serial.read_u32(f)
-        m = serial.read_u32(f)
-        nbits = serial.read_u32(f)
+        r = serial.CrcReader(f)
+        version = serial.read_magic(r, MAGIC, VERSION)
+        kind = DistanceKind(serial.read_str(r))
+        dim = serial.read_u32(r)
+        m = serial.read_u32(r)
+        nbits = serial.read_u32(r)
         if kind != self._distance_kind:
             raise serial.SerializationError(
                 f"distance kind mismatch: index={self._distance_kind.value}, stored={kind.value}"
@@ -369,11 +372,15 @@ class PQIndex(BaseVectorIndex):
                 f"PQ param mismatch: index=(M={self._m}, Nbits={self._nbits}), "
                 f"stored=(M={m}, Nbits={nbits})"
             )
-        trained = bool(serial.read_u32(f))
-        codebooks = serial.read_array(f) if trained else None
-        n = serial.read_u64(f)
-        ids = serial.read_array(f)
-        codes = serial.read_array(f)
+        trained = bool(serial.read_u32(r))
+        codebooks = serial.read_array(r) if trained else None
+        n = serial.read_u64(r)
+        ids = serial.read_array(r)
+        codes = serial.read_array(r)
+        if version >= 2:
+            r.verify()
+        if len(ids) != n or codes.shape != (n, m):
+            raise serial.SerializationError("corrupt PQ index payload")
         with self._lock:
             self._codebooks = codebooks
             self._trained = trained

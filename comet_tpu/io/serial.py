@@ -9,6 +9,7 @@ Magic values are distinct from the reference's (this is a new format).
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import BinaryIO
 
 import numpy as np
@@ -18,6 +19,57 @@ from comet_tpu.types import CometError
 
 class SerializationError(CometError):
     pass
+
+
+class CrcWriter:
+    """Write-through wrapper keeping a running CRC32 of every byte written.
+
+    Index payloads are sealed with a 4-byte CRC32 trailer (covering magic,
+    version, and payload) so that *any* byte flip is detected at load time —
+    the reference's formats have no integrity check at all and will happily
+    half-load corrupt blobs. Call seal() after the last payload byte."""
+
+    def __init__(self, f: BinaryIO):
+        self._f = f
+        self._crc = 0
+
+    def write(self, data: bytes) -> int:
+        self._crc = zlib.crc32(data, self._crc)
+        return self._f.write(data)
+
+    def seal(self) -> None:
+        """Append the CRC32 trailer to the underlying stream (not counted)."""
+        self._f.write(struct.pack("<I", self._crc))
+
+
+class CrcReader:
+    """Read-through wrapper keeping a running CRC32 of every byte consumed.
+
+    After parsing a payload written through CrcWriter, call verify(): it
+    reads the 4-byte trailer from the underlying stream and raises
+    SerializationError when the payload was altered in transit/storage.
+    Leaves any bytes after the trailer unconsumed (formats stay
+    length-delimited, not EOF-delimited)."""
+
+    def __init__(self, f: BinaryIO):
+        self._f = f
+        self._crc = 0
+
+    def read(self, n: int = -1) -> bytes:
+        data = self._f.read(n)
+        self._crc = zlib.crc32(data, self._crc)
+        return data
+
+    def verify(self) -> None:
+        trailer = self._f.read(4)
+        if len(trailer) != 4:
+            raise SerializationError("unexpected EOF: missing checksum trailer")
+        (want,) = struct.unpack("<I", trailer)
+        if want != self._crc:
+            raise SerializationError(
+                f"payload checksum mismatch: stored={want:#010x}, "
+                f"computed={self._crc:#010x}"
+            )
 
 
 _DTYPES = {
@@ -50,7 +102,12 @@ def read_magic(f: BinaryIO, magic: bytes, max_version: int = 1) -> int:
 
 
 def _read_exact(f: BinaryIO, n: int) -> bytes:
-    data = f.read(n)
+    try:
+        data = f.read(n)
+    except (OverflowError, MemoryError) as e:
+        # corrupt length fields can demand absurd reads; surface them as
+        # payload corruption, not as interpreter errors
+        raise SerializationError(f"implausible field length {n}") from e
     if len(data) != n:
         raise SerializationError(f"unexpected EOF: wanted {n} bytes, got {len(data)}")
     return data

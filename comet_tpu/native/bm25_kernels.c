@@ -61,6 +61,10 @@ void bm25_score_topk(
             const int64_t len = lens[t];
             for (int64_t i = 0; i < len; ++i) {
                 const int32_t doc = d[i];
+                /* never trust posting payloads: a corrupt/overflowed doc id
+                 * must be skipped, not dereferenced (fuzz: byte-flipped
+                 * blobs once segfaulted here via int32-wrapped doc ids) */
+                if (doc < 0 || doc >= n_docs) continue;
                 const float tf = f[i];
                 const float norm = tf + k1 * (1.0f - b + b * doc_len[doc] / avgdl);
                 scores_buf[doc] += idf * tf * k1p1 / norm;
@@ -73,6 +77,7 @@ void bm25_score_topk(
             const int64_t len = lens[t];
             for (int64_t i = 0; i < len; ++i) {
                 const int32_t doc = d[i];
+                if (doc < 0 || doc >= n_docs) continue;
                 const float s = scores_buf[doc];
                 if (s == 0.0f) continue;  /* already taken or zero-scored */
                 scores_buf[doc] = 0.0f;
