@@ -79,6 +79,17 @@ def load_data():
             if gt is not None:
                 gt = np.tile(gt, (reps, 1))[:BATCH]
         return base, queries.astype(np.float32), gt
+    if os.environ.get("COMET_SIFTGEN"):
+        # SIFT-descriptor synthetic corpus (real Lowe descriptors over
+        # synthetic imagery, comet_tpu/io/siftgen.py): marginal statistics
+        # and PQ codebook distortion match real texmex data by
+        # construction; neighbor structure is modeled (re-observation
+        # ladders), not measured against SIFT1M ground truth.
+        from comet_tpu.io import siftgen
+
+        log(f"dataset: siftgen synthetic descriptors ({N} x {DIM})")
+        base, queries = siftgen.generate_with_queries(N, BATCH, seed=0)
+        return base, queries, None
     corpus, queries = gen_data()
     return corpus, queries, None
 
