@@ -11,6 +11,7 @@ table to stderr (results recorded in BENCHMARKS.md).
 """
 
 import json
+import math
 import os
 import sys
 import time
@@ -100,17 +101,23 @@ def time_search(idx, queries, k, rounds=ROUNDS, **kw):
     a bulk/production consumer drives the index. Falls back to sequential
     search_batch for indexes without a stream path."""
     ids, _ = idx.search_batch(queries, k=k, **kw)  # warmup/compile
-    if hasattr(idx, "search_stream"):
-        t0 = time.perf_counter()
-        outs = list(idx.search_stream([queries] * rounds, k=k, **kw))
-        dt = time.perf_counter() - t0
-        ids = outs[-1][0]
-    else:
-        t0 = time.perf_counter()
-        for _ in range(rounds):
-            ids, _ = idx.search_batch(queries, k=k, **kw)
-        dt = time.perf_counter() - t0
-    qps = rounds * len(queries) / dt
+    # two timed passes, best-of-2: the tunnel has transient multi-second
+    # stalls (measured 12x QPS dips on single-pass rows) that would
+    # otherwise poison a whole table row
+    best_dt = math.inf
+    for _ in range(2):
+        if hasattr(idx, "search_stream"):
+            t0 = time.perf_counter()
+            outs = list(idx.search_stream([queries] * rounds, k=k, **kw))
+            dt = time.perf_counter() - t0
+            ids = outs[-1][0]
+        else:
+            t0 = time.perf_counter()
+            for _ in range(rounds):
+                ids, _ = idx.search_batch(queries, k=k, **kw)
+            dt = time.perf_counter() - t0
+        best_dt = min(best_dt, dt)
+    qps = rounds * len(queries) / best_dt
     return qps, ids
 
 
@@ -281,6 +288,9 @@ def bench_all(corpus, queries, truth_ids, truth100=None):
     bm.add_batch(range(1, n_docs + 1), texts)
     t_index = time.perf_counter() - t0
     log(f"bm25 index {n_docs} docs: {t_index:.1f}s ({n_docs / t_index:.0f} docs/s)")
+    # warmup: first query pays the one-time native postings-CSR build
+    # (~seconds at 200k docs), the analog of XLA compile warmup elsewhere
+    bm.new_search().with_query("term0 term1").with_k(10).execute()
     t0 = time.perf_counter()
     nq = 200
     for i in range(nq):

@@ -11,7 +11,7 @@ module makes the TPU path actually prune:
      additive mask), stored transposed [d, NR] like the flat corpus.
   2. Queries are sorted by their nearest centroid (with centroids ordered
      by a coarse super-clustering so adjacent cluster ids are spatially
-     близко — nearby cells), then processed in GROUPS of 128 lanes. Queries
+     nearby cells), then processed in GROUPS of 128 lanes. Queries
      in a group probe overlapping cluster sets, so the group's deduplicated
      chunk list stays near the per-query probe size instead of the union of
      128 unrelated probe lists.
