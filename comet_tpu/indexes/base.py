@@ -506,8 +506,9 @@ def pad_queries(qarr: np.ndarray) -> tuple[np.ndarray, int]:
     return out, q
 
 
-def threshold_scalar(threshold: float) -> jnp.ndarray:
+def threshold_scalar(threshold: float) -> np.float32:
     """Reference semantics: threshold <= 0 means disabled
-    (flat_index_search.go:269)."""
-    t = np.float32(threshold) if threshold > 0 else np.float32(np.inf)
-    return jnp.asarray(t)
+    (flat_index_search.go:269). Returns a HOST scalar: jitted search
+    dispatches ship it with their arguments, where an eager jnp.asarray
+    here would cost a separate device_put enqueue on every query."""
+    return np.float32(threshold) if threshold > 0 else np.float32(np.inf)

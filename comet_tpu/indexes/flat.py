@@ -229,8 +229,14 @@ class FlatIndex(BaseVectorIndex):
             )
             # slice to the REQUESTED width on device: the tunnel download
             # is the serving bottleneck (~20-45 MB/s), so the k_pad-k_eff
-            # padding columns are pure wire waste (k=100 pads to 128: -22%)
-            if k_eff < s.shape[1] or q_real < s.shape[0]:
+            # padding columns are pure wire waste (k=100 pads to 128: -22%).
+            # Only worth it when the saved bytes outweigh the 2 extra eager
+            # dispatches (~1 ms host enqueue): single-query latency paths
+            # download the padded row and crop on host (collect does both).
+            pad_bytes = 8 * (s.shape[0] * s.shape[1] - q_real * k_eff)
+            if pad_bytes > (1 << 17) and (
+                k_eff < s.shape[1] or q_real < s.shape[0]
+            ):
                 s, i = s[:q_real, :k_eff], i[:q_real, :k_eff]
             # start the host copies now so a pipelined caller's next batch
             # computes while these results stream back over the tunnel

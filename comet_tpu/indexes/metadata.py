@@ -210,6 +210,19 @@ class RoaringMetadataIndex:
         self._numeric: dict[str, BSI] = {}
         self._all_docs = Bitset()
         self._lock = threading.RLock()
+        # filter-result memo: repeated hybrid queries reuse the same
+        # predicate set, and _eval costs ~4 ms at 100k docs — on the
+        # single-query latency critical path (the vector launch can't go
+        # out until the candidate mask exists). Keyed by (mutation epoch,
+        # filter signature); any write invalidates by bumping the epoch.
+        self._mutation = 0
+        self._bitset_cache: "dict[tuple, Bitset]" = {}
+
+    def _dirty(self) -> None:
+        """Mark contents changed (caller holds the lock)."""
+        self._mutation += 1
+        if self._bitset_cache:
+            self._bitset_cache.clear()
 
     # -- mutation ----------------------------------------------------------
 
@@ -217,6 +230,7 @@ class RoaringMetadataIndex:
         """Classify each field numeric/categorical and index it
         (metadata_index.go:126-154)."""
         with self._lock:
+            self._dirty()
             doc_id = int(node.id)
             self._all_docs.add(doc_id)
             for key, value in node.metadata.items():
@@ -323,6 +337,7 @@ class RoaringMetadataIndex:
                         (plane_key, np.asarray(plane_ids, dtype=np.uint64))
                     )
         with self._lock:
+            self._dirty()
             self._all_docs.add_many(doc_ids)
             for plane_key, plane_ids in cat_ops:
                 bs = self._categorical.get(plane_key)
@@ -355,6 +370,7 @@ class RoaringMetadataIndex:
         doc_ids = np.asarray(doc_ids, dtype=np.uint64)
         n = len(doc_ids)
         with self._lock:
+            self._dirty()
             self._all_docs.add_many(doc_ids)
             for field_name, values in columns.items():
                 arr = np.asarray(values)
@@ -406,6 +422,7 @@ class RoaringMetadataIndex:
     def remove(self, node: MetadataNode) -> None:
         """HARD delete from every plane (metadata_index.go:187-206)."""
         with self._lock:
+            self._dirty()
             doc_id = int(node.id)
             self._all_docs.discard(doc_id)
             for bs in self._categorical.values():
@@ -546,14 +563,41 @@ class RoaringMetadataIndex:
         # neither set: all documents (metadata_index_search.go Execute)
         return self._all_docs.clone()
 
+    @staticmethod
+    def _filter_sig(filters: list[Filter], groups: list[FilterGroup]):
+        """Hashable signature of a predicate set (None when any value is
+        unhashable — those queries just skip the memo)."""
+        try:
+            return (
+                tuple(filters),
+                tuple((tuple(g.filters), g.logic) for g in groups),
+            )
+        except TypeError:
+            return None
+
     def filter_bitset(
         self,
         filters: list[Filter] | None = None,
         groups: list[FilterGroup] | None = None,
     ) -> Bitset:
-        """Evaluate to a bitmap — the fused-mask fast path for hybrid search."""
+        """Evaluate to a bitmap — the fused-mask fast path for hybrid
+        search. Results memoize per (mutation epoch, predicate signature):
+        serving traffic repeats predicate sets, and evaluation sits on the
+        single-query critical path ahead of the vector dispatch."""
+        filters = list(filters or [])
+        groups = list(groups or [])
+        sig = self._filter_sig(filters, groups)
         with self._lock:
-            return self._eval(list(filters or []), list(groups or []))
+            if sig is not None:
+                hit = self._bitset_cache.get(sig)
+                if hit is not None:
+                    return Bitset(hit.words.copy())
+            out = self._eval(filters, groups)
+            if sig is not None:
+                if len(self._bitset_cache) >= 256:
+                    self._bitset_cache.clear()
+                self._bitset_cache[sig] = Bitset(out.words.copy())
+            return out
 
     def new_search(self) -> "MetadataSearchBuilder":
         return MetadataSearchBuilder(self)
@@ -598,6 +642,7 @@ class RoaringMetadataIndex:
         if version >= 2:
             r.verify()
         with self._lock:
+            self._dirty()
             self._all_docs = Bitset(all_docs)
             self._categorical = {k: Bitset(v) for k, v in categorical.items()}
             self._numeric = {}
