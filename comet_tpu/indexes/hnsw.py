@@ -81,6 +81,12 @@ BLOCKED_TABLE_BYTES_MAX = 9 << 30
 # Seeded beam: corpora below this take the classic entry-point start (the
 # probe scan needs enough rows per cell to be worth its dispatch).
 SEED_MIN_N = 1 << 15
+# Seed-table rebuild debounce: the cluster-major layout is rebuilt only when
+# accumulated adds+removes exceed max(SEED_REBUILD_MIN, frac * layout size);
+# smaller deltas pay a device mask refresh only (ADVICE r3: mutation-
+# interleaved serving must not re-upload hundreds of MB per add).
+SEED_REBUILD_MIN = 8192
+SEED_REBUILD_FRAC = 0.125
 # An initial add_batch of at least this many vectors into an EMPTY index
 # takes the kNN bulk-build path (ops/graph_build.py) instead of
 # incremental insertion rounds.
@@ -167,6 +173,13 @@ class HNSWIndex(BaseVectorIndex):
         self._seed_centroids = None
         self._seed_order_key = None
         self._seed_trained_n = 0
+        # incremental seed maintenance (per-slot assignment cache +
+        # debounced layout rebuild — serving mutations must not pay a full
+        # O(n*nlist) reassignment + table re-upload per add/remove)
+        self._seed_assign = None
+        self._seed_assign_n = 0
+        self._seed_layout_n = 0
+        self._seed_layout_deleted = 0
 
     # -- contracts -----------------------------------------------------------
 
@@ -884,30 +897,70 @@ class HNSWIndex(BaseVectorIndex):
     def _seed_nlist(self, n: int) -> int:
         return max(64, min(4096, next_pow2(int(n ** 0.5))))
 
+    def _assign_new_slots(self, n: int) -> None:
+        """Extend the per-slot seed-assignment cache to cover [assign_n, n)
+        — the only per-mutation cost of keeping the seed tables warm."""
+        from comet_tpu.ops.kmeans import find_nearest_centroid
+
+        if self._seed_assign is None or len(self._seed_assign) < self._store.capacity:
+            a = np.full(self._store.capacity, -1, np.int32)
+            if self._seed_assign is not None:
+                a[: self._seed_assign_n] = self._seed_assign[: self._seed_assign_n]
+            self._seed_assign = a
+        if n <= self._seed_assign_n:
+            return
+        new_sl = np.arange(self._seed_assign_n, n)
+        new_sl = new_sl[self._store.valid[new_sl]]
+        ch = 1 << 18
+        for i0 in range(0, len(new_sl), ch):
+            sl = new_sl[i0 : i0 + ch]
+            self._seed_assign[sl] = find_nearest_centroid(
+                self._store.vectors[sl], self._seed_centroids
+            )
+        self._seed_assign_n = n
+
     def _ensure_seed(self):
-        """Cluster-probe seed tables for the seeded beam (version-gated).
+        """Cluster-probe seed tables for the seeded beam, maintained
+        INCREMENTALLY across mutations.
 
         K-means the corpus into ~sqrt(n) cells, lay the VALID slots out
         cluster-major (ops/ivf_sparse.build_cluster_major), and keep a
         bf16 transposed copy whose scores live in the routing kernel's
         distance domain: f32(bf16(sqnorm)) additive mask and bf16 MXU
         inner products — bit-equal to beam rediscovery distances, which
-        the sort-kill dedup requires."""
+        the sort-kill dedup requires.
+
+        Mutation-interleaved serving must not pay a full O(n*nlist)
+        reassignment + a hundreds-of-MB table re-upload per add/remove
+        (ADVICE r3): per-slot assignments are cached and extended only for
+        NEW slots; removals are folded in by refreshing the additive mask
+        from current validity on device; the full cluster-major layout is
+        rebuilt only when the accumulated delta passes SEED_REBUILD_FRAC
+        (slots added since the last layout are until then reachable only
+        through beam expansion from nearby seeds — the graph covers them)
+        or when a flush permutes slots / the cell count retrains."""
         import jax
 
         from comet_tpu.ops import ivf_sparse as sp
-        from comet_tpu.ops.kmeans import find_nearest_centroid, kmeans
+        from comet_tpu.ops.kmeans import kmeans
 
         if self._seed_version == self._store.version:
             return self._seed_state
-        n = self._store.n
+        store = self._store
+        n = store.n
         nlist = self._seed_nlist(n)
-        if (
+        retrain = (
             self._seed_centroids is None
             or len(self._seed_centroids) != nlist
             or n > 2 * self._seed_trained_n
-        ):
-            sample = self._store.vectors[:n]
+        )
+        # a flush compacts slots: every cached slot-indexed structure dies
+        flushed = self._seed_state is not None and (
+            n < self._seed_layout_n
+            or store.deleted < self._seed_layout_deleted
+        )
+        if retrain:
+            sample = store.vectors[:n]
             if n > (1 << 17):
                 sel = self._rng.choice(n, 1 << 17, replace=False)
                 sample = sample[np.sort(sel)]
@@ -917,14 +970,40 @@ class HNSWIndex(BaseVectorIndex):
             )
             self._seed_trained_n = n
             self._seed_order_key = sp.cluster_order_key(self._seed_centroids)
-        assign = np.full(n, -1, np.int32)
-        valid_idx = np.nonzero(self._store.valid[:n])[0]
-        ch = 1 << 18
-        for i0 in range(0, len(valid_idx), ch):
-            sl = valid_idx[i0 : i0 + ch]
-            assign[sl] = find_nearest_centroid(
-                self._store.vectors[sl], self._seed_centroids
+        if retrain or flushed:
+            self._seed_assign = None
+            self._seed_assign_n = 0
+        self._assign_new_slots(n)
+
+        adds = n - self._seed_layout_n
+        dels = max(store.deleted - self._seed_layout_deleted, 0)
+        rebuild = (
+            self._seed_state is None
+            or retrain
+            or flushed
+            or (adds + dels)
+            > max(SEED_REBUILD_MIN, int(self._seed_layout_n * SEED_REBUILD_FRAC))
+        )
+        if not rebuild:
+            # delta path: only removals change what the table may return —
+            # refresh the +inf mask from current validity (O(NR) device
+            # gather + a [cap] bool upload; no corpus re-upload)
+            st = self._seed_state
+
+            @jax.jit
+            def refresh(perm, base, valid):
+                ok = (perm >= 0) & valid[jnp.maximum(perm, 0)]
+                return jnp.where(ok, base, jnp.inf)
+
+            st["mask_vec"] = refresh(
+                st["row_slot"], st["base_mask"], jnp.asarray(store.valid)
             )
+            self._seed_version = store.version
+            return st
+
+        assign = np.where(store.valid[:n], self._seed_assign[:n], -1).astype(
+            np.int32
+        )
         lay = sp.build_cluster_major(assign, nlist)
         perm = jnp.asarray(lay["perm"])
         self._ensure_device()
@@ -942,6 +1021,7 @@ class HNSWIndex(BaseVectorIndex):
             "nlist": nlist,
             "corpus_t": corpus_t,
             "mask_vec": mask_vec,
+            "base_mask": mask_vec,  # layout-time mask (all rows then valid)
             "row_slot": perm,
             "centroids": jnp.asarray(self._seed_centroids),
             "order_key": jnp.asarray(self._seed_order_key),
@@ -950,7 +1030,9 @@ class HNSWIndex(BaseVectorIndex):
             "nch_total": int(lay["chunk_start"][-1]),
             "max_chunks": lay["max_chunks"],
         }
-        self._seed_version = self._store.version
+        self._seed_layout_n = n
+        self._seed_layout_deleted = store.deleted
+        self._seed_version = store.version
         return self._seed_state
 
     def _seed_scan(self, qc, ef_pad):

@@ -18,6 +18,7 @@ of queries probe in lockstep; there is no per-query pointer chasing.
 
 from __future__ import annotations
 
+import logging
 import math
 import os
 from functools import partial
@@ -49,6 +50,8 @@ from comet_tpu.types import (
     NotTrainedError,
     VectorIndexKind,
 )
+
+logger = logging.getLogger(__name__)
 
 MAGIC = b"CIVF"
 VERSION = 2  # v2: CRC32 payload trailer (v1 readable, no trailer check)
@@ -222,6 +225,8 @@ class IVFIndex(BaseVectorIndex):
         self._order_key_src = None   # centroids object the order key is for
         self._order_key = None
         self._last_overflow = None   # [G] device array from the last batch
+        self._sparse_overflow_batches = 0  # batches that needed a rescan
+        self._sparse_overflow_chunks = 0   # total chunks initially dropped
 
     # -- contracts -----------------------------------------------------------
 
@@ -238,6 +243,14 @@ class IVFIndex(BaseVectorIndex):
     def default_nprobes(self) -> int:
         """sqrt(nlist), the reference default (ivf_index.go:410)."""
         return int(math.sqrt(self._nlist))
+
+    def stats(self) -> dict:
+        s = super().stats()
+        s["nlist"] = self._nlist
+        s["trained"] = self._trained
+        s["sparse_overflow_batches"] = self._sparse_overflow_batches
+        s["sparse_overflow_chunks"] = self._sparse_overflow_chunks
+        return s
 
     # -- training --------------------------------------------------------------
 
@@ -395,8 +408,17 @@ class IVFIndex(BaseVectorIndex):
             self._sparse_version = self._store.version
         return self._sparse
 
-    def _launch_sparse(self, qpad, q_real, k_pad, k_eff, nprobe, builder):
-        """Block-sparse pruned scan: compute tracks nprobe (VERDICT r2 #3)."""
+    def _launch_sparse(
+        self, qpad, q_real, k_pad, k_eff, nprobe, builder, S_override=None
+    ):
+        """Block-sparse pruned scan: compute tracks nprobe (VERDICT r2 #3).
+
+        The pipeline's per-group chunk walk has a static step budget S; a
+        probe-diverse batch can want more chunks than S (or more distinct
+        clusters than UC). The returned handle carries the per-group
+        overflow counts — `_search_collect` checks them on the same sync
+        that fetches results, and retries once with an escalated budget so
+        the scan never silently serves fewer probes than requested."""
         import jax
 
         from comet_tpu.ops import ivf_sparse as sp
@@ -420,6 +442,10 @@ class IVFIndex(BaseVectorIndex):
         S, UC, MC = sp.default_budgets(
             nprobe, self._nlist, st["nch_total"], st["max_chunks"]
         )
+        S_max = 1 << max(int(st["nch_total"] - 1).bit_length(), 5)
+        if S_override is not None:
+            S = min(max(S_override, S), S_max)
+            UC = min(S, self._nlist)
         s, i, overflow = sp.ivf_sparse_pipeline(
             jnp.asarray(qpad), st["corpus_t"], mask_vec, st["row_slot"],
             thr_k, jnp.asarray(self._centroids), self._order_key,
@@ -432,9 +458,18 @@ class IVFIndex(BaseVectorIndex):
         try:
             s.copy_to_host_async()
             i.copy_to_host_async()
+            overflow.copy_to_host_async()
         except AttributeError:  # pragma: no cover
             pass
-        return ("dev", s, i, q_real, k_eff, self._store.ids)
+        retry = None
+        if S < S_max and S_override is None:
+            # overflow counts chunks dropped beyond the EFFECTIVE budget
+            # (the pipeline bumps S up to kb*sel_group/chunk internally) —
+            # the retry escalation must start from that effective value
+            kb = max(1 << max(k_pad - 1, 1).bit_length(), 8)
+            S_eff = max(S, -(-kb * sp.SEL_GROUP // sp.CHUNK))
+            retry = (qpad, q_real, k_pad, k_eff, nprobe, builder, S_eff)
+        return ("sparse", s, i, q_real, k_eff, self._store.ids, overflow, retry)
 
     def _device_dense(self):
         """Transposed corpus + device assign vector for the dense masked
@@ -551,8 +586,44 @@ class IVFIndex(BaseVectorIndex):
         return ("dev_chunks", chunks, q_real, k_eff, store.ids)
 
     def _search_collect(self, handle):
+        import jax
+
         from comet_tpu.indexes.base import collect_device_handle
 
+        if handle[0] == "sparse":
+            _, s, i, q_real, k_eff, ids, overflow, retry = handle
+            ov = np.asarray(jax.device_get(overflow))
+            dropped = int(ov.sum())
+            if dropped > 0:
+                self._sparse_overflow_batches += 1
+                self._sparse_overflow_chunks += dropped
+                if retry is not None:
+                    # escalate the step budget past the worst group's want
+                    # and rescan once — exactness beats the saved DMA steps
+                    qpad, q_real, k_pad, k_eff, nprobe, builder, S_old = retry
+                    S_new = 1 << int(S_old + int(ov.max()) - 1).bit_length()
+                    logger.warning(
+                        "ivf sparse scan overflow: %d chunk(s) dropped "
+                        "across %d group(s); rescanning with S=%d (was %d)",
+                        dropped, int((ov > 0).sum()), S_new, S_old,
+                    )
+                    h2 = self._launch_sparse(
+                        qpad, q_real, k_pad, k_eff, nprobe, builder,
+                        S_override=S_new,
+                    )
+                    _, s, i, q_real, k_eff, ids, overflow, _ = h2
+                    ov2 = np.asarray(jax.device_get(overflow))
+                    if int(ov2.sum()) > 0:  # pragma: no cover - S_max capped
+                        logger.warning(
+                            "ivf sparse rescan still overflowed by %d "
+                            "chunk(s) at the budget cap", int(ov2.sum()),
+                        )
+                else:  # pragma: no cover - budget already at table size
+                    logger.warning(
+                        "ivf sparse scan overflow at max budget: %d chunk(s)",
+                        dropped,
+                    )
+            handle = ("dev", s, i, q_real, k_eff, ids)
         return collect_device_handle(handle)
 
     # -- serialization ----------------------------------------------------------

@@ -454,9 +454,12 @@ class RoaringMetadataIndex:
     # -- filter evaluation -------------------------------------------------
 
     def _existence(self, field: str) -> Bitset:
-        if field in self._numeric:
-            return self._numeric[field].ebm.clone()
+        # a field can carry BOTH planes (some docs numeric, some bool/str):
+        # existence is the union
         result = Bitset()
+        bsi = self._numeric.get(field)
+        if bsi is not None:
+            result.ior(bsi.ebm)
         prefix = field + ":"
         for key, bs in self._categorical.items():
             if key.startswith(prefix):
@@ -475,20 +478,6 @@ class RoaringMetadataIndex:
             bs = self._categorical.get(key)
             if bs is not None:
                 result.iandnot(bs)
-            return result
-        if op == "in":
-            result = Bitset()
-            for v in f.value:
-                bs = self._categorical.get(f"{f.field}:{_cat_value(v)}")
-                if bs is not None:
-                    result.ior(bs)
-            return result
-        if op == "not_in":
-            result = self._all_docs.clone()
-            for v in f.value:
-                bs = self._categorical.get(f"{f.field}:{_cat_value(v)}")
-                if bs is not None:
-                    result.iandnot(bs)
             return result
         if op in ("gt", "gte", "lt", "lte", "range"):
             # Numeric operator on a field this index has never seen as
@@ -518,14 +507,31 @@ class RoaringMetadataIndex:
         raise InvalidConfigError(f"unsupported operator for numeric field: {op}")
 
     def _eval_filter(self, f: Filter) -> Bitset:
-        if f.operator == "exists":
+        op = f.operator or "eq"
+        if op == "exists":
             return self._existence(f.field)
-        if f.operator == "not_exists":
+        if op == "not_exists":
             result = self._all_docs.clone()
             result.iandnot(self._existence(f.field))
             return result
+        # route by PREDICATE VALUE type, like the reference's evaluateFilter
+        # type switch (metadata_index.go:258-330): bool/str predicates hit
+        # the categorical planes even when the field also has a numeric BSI
+        # (mixed-type fields), numeric predicates hit the BSI. in/not_in
+        # decompose into per-value eq so each value routes independently.
+        if op == "in":
+            acc = Bitset()
+            for v in f.value:
+                acc.ior(self._eval_filter(Filter(f.field, "eq", v)))
+            return acc
+        if op == "not_in":
+            result = self._all_docs.clone()
+            for v in f.value:
+                result.iandnot(self._eval_filter(Filter(f.field, "eq", v)))
+            return result
         bsi = self._numeric.get(f.field)
-        if bsi is not None:
+        categorical_value = isinstance(f.value, (bool, str, np.bool_, np.str_))
+        if bsi is not None and not categorical_value:
             return self._eval_numeric(bsi, f)
         return self._eval_categorical(f)
 
@@ -564,13 +570,29 @@ class RoaringMetadataIndex:
         return self._all_docs.clone()
 
     @staticmethod
+    def _value_sig(v):
+        """Type-tagged value key. Python conflates True == 1 == 1.0 under
+        hash/equality, but categorical evaluation keys planes by str(value)
+        (``f:True`` vs ``f:1`` vs ``f:1.0``) — so the memo signature must
+        distinguish them or eq(field, True) poisons eq(field, 1)."""
+        if isinstance(v, (tuple, list)):
+            return (type(v).__name__,) + tuple(
+                RoaringMetadataIndex._value_sig(x) for x in v
+            )
+        return (type(v).__name__, v)
+
+    @staticmethod
     def _filter_sig(filters: list[Filter], groups: list[FilterGroup]):
         """Hashable signature of a predicate set (None when any value is
         unhashable — those queries just skip the memo)."""
+        vs = RoaringMetadataIndex._value_sig
         try:
+            def fsig(f: Filter):
+                return (f.field, f.operator, vs(f.value), vs(f.value2))
+
             return (
-                tuple(filters),
-                tuple((tuple(g.filters), g.logic) for g in groups),
+                tuple(fsig(f) for f in filters),
+                tuple((tuple(fsig(f) for f in g.filters), g.logic) for g in groups),
             )
         except TypeError:
             return None

@@ -30,9 +30,12 @@ path); block selection keeps kb >= k groups, so the returned top-k SET is
 exact within the scanned chunks (docs/DESIGN.md §2). Two documented
 divergences from the dense path: (a) score ties at the k-th boundary break
 by scan order, not slot order; (b) each group's chunk walk is budgeted at S
-steps — chunk lists are ordered by best probe rank, so an overflow drops
-the worst-ranked probes' chunks only (the per-group overflow count is
-returned for observability; S defaults to ~4x the expected need).
+steps and its distinct-cluster list at UC — chunk lists are ordered by best
+probe rank, so truncation drops the worst-ranked probes' chunks only. The
+per-group overflow count returned by the pipeline counts EVERY dropped
+chunk (both S- and UC-truncation); indexes/ivf.py rescans the batch once
+with an escalated budget whenever it is nonzero, so served results always
+cover the requested nprobe. S defaults to ~4x the expected need.
 """
 
 from __future__ import annotations
@@ -178,14 +181,20 @@ def _group_chunk_lists(
         jnp.broadcast_to(c_u[:, :, None], (G, UC, MC)).reshape(-1),
         mode="drop",
     )
-    n_real_all = (off + nch)[:, -1].astype(jnp.int32)   # total chunks wanted
+    # chunks wanted across ALL distinct probed clusters (pre-UC-truncation,
+    # pre-S-truncation) so overflow counts every dropped chunk — both those
+    # past the S step budget AND whole clusters cut by the UC cap
+    total_wanted = jnp.sum(
+        jnp.where(first, nchunks[jnp.clip(c_s, 0, nlist - 1)], 0), axis=1
+    ).astype(jnp.int32)
+    n_kept = (off + nch)[:, -1].astype(jnp.int32)       # survived the UC cap
     dead = cluster_ids < 0
     # dead steps repeat a real chunk (no new DMA) under an all-inf mask;
     # if the group probed only empty clusters every step is dead — clamp
     first_chunk = jnp.maximum(chunk_ids[:, 0:1], 0)
     chunk_ids = jnp.where(dead, first_chunk, chunk_ids)
-    n_real = jnp.minimum(n_real_all, S)
-    overflow = jnp.maximum(n_real_all - S, 0)
+    n_real = jnp.minimum(n_kept, S)
+    overflow = total_wanted - n_real
     return chunk_ids, cluster_ids, n_real, overflow
 
 
@@ -375,7 +384,7 @@ def _coarse_probes(qpad, centroids, nprobe, coarse_cosine, interpret):
         "bf16_domain", "interpret",
     ),
 )
-def ivf_sparse_pipeline(
+def _pipeline_jit(
     qpad: jax.Array,         # [Qp, d] f32 preprocessed, Qp % QG == 0
     corpus_t: jax.Array,     # [d, NR] cluster-major transposed (f32; bf16
                              #   when bf16_domain — HNSW seed scans)
@@ -466,6 +475,76 @@ def ivf_sparse_pipeline(
     # restore original query order
     inv = jnp.zeros_like(qperm).at[qperm].set(jnp.arange(Qp))
     return fv[inv], slots[inv], overflow
+
+
+def _mem_envelope_bytes() -> int:
+    """Per-dispatch HBM budget for the scan's [G, QG, S*chunk] f32 distance
+    tensor (COMET_SPARSE_MEM_GB overrides; default 2 GiB). The tensor
+    scales linearly with S and query count — at 4M rows / nprobe=64 /
+    Q=2048 it reaches ~4.3 GB, enough to OOM a 16 GB v5e alongside the
+    corpus tables — so oversized batches are processed in query-group
+    slices (separate dispatches bound true liveness)."""
+    import os
+
+    try:
+        gb = float(os.environ.get("COMET_SPARSE_MEM_GB", "2"))
+    except ValueError:  # pragma: no cover
+        gb = 2.0
+    return int(gb * (1 << 30))
+
+
+def ivf_sparse_pipeline(
+    qpad,
+    corpus_t,
+    mask_vec,
+    row_slot,
+    threshold,
+    centroids,
+    order_key,
+    chunk_start,
+    nchunks,
+    k: int,
+    nprobe: int,
+    S: int, UC: int, MC: int, nlist: int,
+    coarse_cosine: bool = False,
+    cosine: bool = False,
+    sqrt_out: bool = False,
+    chunk: int = CHUNK,
+    sel_group: int = SEL_GROUP,
+    bf16_domain: bool = False,
+    interpret: bool = False,
+):
+    """Memory-bounded front for `_pipeline_jit` (see its docstring).
+
+    Splits the padded query batch into QG-multiple slices whenever the
+    scan's distance tensor would exceed the envelope; each slice is its own
+    dispatch (queries are spatially sorted WITHIN a slice — grouping
+    quality degrades only marginally for envelope-sized slices). Returns
+    (scores [Qp, k'], slots [Qp, k'], overflow [G] i32) exactly like the
+    single-dispatch path."""
+    kwargs = dict(
+        k=k, nprobe=nprobe, S=S, UC=UC, MC=MC, nlist=nlist,
+        coarse_cosine=coarse_cosine, cosine=cosine, sqrt_out=sqrt_out,
+        chunk=chunk, sel_group=sel_group, bf16_domain=bf16_domain,
+        interpret=interpret,
+    )
+    args = (corpus_t, mask_vec, row_slot, threshold, centroids,
+            order_key, chunk_start, nchunks)
+    Qp = qpad.shape[0]
+    G = Qp // QG
+    per_group = QG * S * chunk * 4
+    max_g = max(int(_mem_envelope_bytes() // max(per_group, 1)), 1)
+    if G <= max_g:
+        return _pipeline_jit(qpad, *args, **kwargs)
+    outs = []
+    for g0 in range(0, G, max_g):
+        rows = slice(g0 * QG, min(g0 + max_g, G) * QG)
+        outs.append(_pipeline_jit(qpad[rows], *args, **kwargs))
+    return (
+        jnp.concatenate([o[0] for o in outs], axis=0),
+        jnp.concatenate([o[1] for o in outs], axis=0),
+        jnp.concatenate([o[2] for o in outs], axis=0),
+    )
 
 
 def default_budgets(

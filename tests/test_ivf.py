@@ -211,3 +211,53 @@ def test_high_nprobe_routes_to_sparse_path(rng):
     )
     truth = topk_np(distances_np(q[None], data, "l2"), 10)[1][0]
     assert [r.get_id() for r in res_full] == [int(t) for t in truth]
+
+
+def test_sparse_overflow_triggers_escalated_rescan(rng):
+    """A nonzero sparse-scan overflow must be surfaced (stats) and fixed by
+    one rescan with an escalated step budget (ADVICE r3): dropped chunks
+    must never silently lower recall below the requested nprobe."""
+    import jax.numpy as jnp
+
+    from comet_tpu.ops.topk import IDX_SENTINEL
+
+    idx, data = trained_index(rng)
+    q_real, k_eff = 1, 2
+    # stale first-pass results: slot 5 at distance 9.0
+    s1 = jnp.full((1, 2), 9.0, jnp.float32)
+    i1 = jnp.array([[5, int(IDX_SENTINEL)]], jnp.int32)
+    overflow = jnp.array([3], jnp.int32)
+    calls = []
+
+    def fake_launch(qpad, q_real_, k_pad, k_eff_, nprobe, builder,
+                    S_override=None):
+        calls.append(S_override)
+        s2 = jnp.array([[1.0, 2.0]], jnp.float32)
+        i2 = jnp.array([[0, 1]], jnp.int32)
+        return ("sparse", s2, i2, q_real_, k_eff_, idx._store.ids,
+                jnp.zeros(1, jnp.int32), None)
+
+    idx._launch_sparse = fake_launch
+    retry = (np.zeros((128, 8), np.float32), q_real, 2, k_eff, 2, None, 8)
+    handle = ("sparse", s1, i1, q_real, k_eff, idx._store.ids, overflow, retry)
+    ids, scores = idx._search_collect(handle)
+    # escalated S >= S_eff + max overflow, rounded to pow2
+    assert calls and calls[0] >= 8 + 3
+    # the rescan's (corrected) results are what got served
+    np.testing.assert_allclose(scores[0], [1.0, 2.0])
+    st = idx.stats()
+    assert st["sparse_overflow_batches"] == 1
+    assert st["sparse_overflow_chunks"] == 3
+
+
+def test_sparse_zero_overflow_no_rescan(rng):
+    import jax.numpy as jnp
+
+    idx, data = trained_index(rng)
+    s1 = jnp.array([[1.5]], jnp.float32)
+    i1 = jnp.array([[2]], jnp.int32)
+    handle = ("sparse", s1, i1, 1, 1, idx._store.ids, jnp.zeros(1, jnp.int32),
+              (None,) * 7)
+    ids, scores = idx._search_collect(handle)
+    np.testing.assert_allclose(scores[0], [1.5])
+    assert idx.stats()["sparse_overflow_batches"] == 0

@@ -226,3 +226,51 @@ def test_default_budgets_monotone():
     # capped at the table size
     S3, UC, MC = default_budgets(64, 16, 32, 4)
     assert S3 <= 64 and UC <= 32
+
+
+def test_overflow_counts_uc_truncated_clusters():
+    """Distinct probed clusters dropped by the UC cap must appear in the
+    returned overflow, not silently vanish (ADVICE r3)."""
+    import jax.numpy as jnp
+
+    nlist = 8
+    nchunks = np.full(nlist, 2, np.int32)
+    chunk_start = np.zeros(nlist + 1, np.int32)
+    chunk_start[1:] = np.cumsum(nchunks)
+    # every query in the group probes all 8 distinct clusters
+    probes = np.tile(np.arange(8, dtype=np.int32)[None, :], (QG, 1))
+    chunk_ids, cluster_ids, n_real, overflow = sp._group_chunk_lists(
+        jnp.asarray(probes), jnp.asarray(chunk_start), jnp.asarray(nchunks),
+        S=16, UC=4, MC=2, nlist=nlist,
+    )
+    # 8 clusters x 2 chunks = 16 wanted; UC=4 keeps 8 chunks despite S=16
+    assert int(n_real[0]) == 8
+    assert int(overflow[0]) == 8
+    # with UC ample the same walk fits and overflow is zero
+    _, _, n_real2, overflow2 = sp._group_chunk_lists(
+        jnp.asarray(probes), jnp.asarray(chunk_start), jnp.asarray(nchunks),
+        S=16, UC=8, MC=2, nlist=nlist,
+    )
+    assert int(n_real2[0]) == 16
+    assert int(overflow2[0]) == 0
+
+
+def test_pipeline_slices_oversized_batches(rng, monkeypatch):
+    """The memory-envelope wrapper must split the batch into QG-group
+    slices and return identical results to the single-dispatch path."""
+    monkeypatch.setenv("COMET_SPARSE_MEM_GB", "1000")
+    nlist, n, d, k = 8, 1200, 16, 8
+    cents = rng.normal(scale=8.0, size=(nlist, d)).astype(np.float32)
+    assign = rng.integers(0, nlist, size=n).astype(np.int32)
+    corpus = (cents[assign] + rng.normal(size=(n, d))).astype(np.float32)
+    queries = (
+        cents[rng.integers(0, nlist, 2 * QG)]
+        + rng.normal(size=(2 * QG, d))
+    ).astype(np.float32)
+    s1, i1, ov1 = _run_pipeline(queries, corpus, assign, cents, 3, k)
+    # force a one-group-per-dispatch envelope
+    monkeypatch.setenv("COMET_SPARSE_MEM_GB", "1e-9")
+    s2, i2, ov2 = _run_pipeline(queries, corpus, assign, cents, 3, k)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(ov1, ov2)

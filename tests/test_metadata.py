@@ -309,3 +309,39 @@ def test_add_columns_length_mismatch():
     mi = RoaringMetadataIndex()
     with pytest.raises(InvalidConfigError):
         mi.add_columns([1, 2], {"x": [1, 2, 3]})
+
+
+def test_filter_bitset_memo_distinguishes_bool_from_int():
+    """True == 1 == 1.0 under Python hash/equality, but bools index as the
+    categorical "True"/"False" plane while ints hit the numeric BSI — the
+    filter_bitset memo must not serve one predicate's cached bitmap for the
+    other (ADVICE r3 high)."""
+    idx = RoaringMetadataIndex()
+    idx.add(new_metadata_node_with_id(1, {"flag": True}))
+    idx.add(new_metadata_node_with_id(2, {"flag": 1}))
+    idx.add(new_metadata_node_with_id(3, {"flag": 1.0}))
+    # prime the memo with the bool predicate, then query int/float
+    assert sorted(idx.filter_bitset([eq("flag", True)]).to_array().tolist()) == [1]
+    got_int = sorted(idx.filter_bitset([eq("flag", 1)]).to_array().tolist())
+    assert got_int == [2, 3]  # numeric BSI: 1 and 1.0 store as 100
+    # and the reverse priming order
+    idx2 = RoaringMetadataIndex()
+    idx2.add(new_metadata_node_with_id(1, {"flag": True}))
+    idx2.add(new_metadata_node_with_id(2, {"flag": 1}))
+    assert sorted(idx2.filter_bitset([eq("flag", 1)]).to_array().tolist()) == [2]
+    assert sorted(idx2.filter_bitset([eq("flag", True)]).to_array().tolist()) == [1]
+    # same-type predicates still memoize (cache hit returns a copy)
+    a = idx2.filter_bitset([eq("flag", True)])
+    b = idx2.filter_bitset([eq("flag", True)])
+    assert a.to_array().tolist() == b.to_array().tolist()
+    assert a is not b
+
+
+def test_filter_bitset_memo_groups_distinguish_types():
+    idx = RoaringMetadataIndex()
+    idx.add(new_metadata_node_with_id(1, {"flag": True, "x": 5}))
+    idx.add(new_metadata_node_with_id(2, {"flag": 1, "x": 5}))
+    g_bool = FilterGroup(filters=[eq("flag", True), eq("x", 5)], logic="AND")
+    g_int = FilterGroup(filters=[eq("flag", 1), eq("x", 5)], logic="AND")
+    assert idx.filter_bitset(groups=[g_bool]).to_array().tolist() == [1]
+    assert idx.filter_bitset(groups=[g_int]).to_array().tolist() == [2]
