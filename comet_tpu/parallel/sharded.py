@@ -487,11 +487,12 @@ class ShardedHybridSearcher:
         fusion=None,
         fusion_kind=None,
         nprobes: int | None = None,
+        cutoff: int = -1,
     ):
         from comet_tpu.core.filter import DocumentFilter
         from comet_tpu.fusion import default_fusion, new_fusion
         from comet_tpu.hybrid import fuse_batch_rows
-        from comet_tpu.indexes.base import INVALID_ID
+        from comet_tpu.indexes.base import INVALID_ID, postprocess_batch_rows
 
         if vectors is not None:
             vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
@@ -534,12 +535,19 @@ class ShardedHybridSearcher:
             v_ids = np.where(
                 hit, self._row_ids[np.where(hit, v_slots, 0)], INVALID_ID
             ).astype(np.uint32)
+            if cutoff != -1:
+                v_ids, v_sc = postprocess_batch_rows(
+                    v_ids[:, :k], np.asarray(v_sc)[:, :k], k, cutoff=cutoff,
+                    ascending=True,
+                )
 
         t_ids = t_sc = None
         if texts is not None:
             if self._text is None:
                 raise ValueError("text queries but no text index")
-            t_ids, t_sc = self._text.search_batch(texts, k=k, document_ids=candidates)
+            t_ids, t_sc = self._text.search_batch(
+                texts, k=k, document_ids=candidates, cutoff=cutoff
+            )
 
         return fuse_batch_rows(v_ids, v_sc, t_ids, t_sc, candidates, fus, nq, k)
 

@@ -239,3 +239,20 @@ def test_fused_batch_matches_fluent_per_kind(hybrid):
         )
         got = [(r.get_id(), r.get_score()) for r in rows[0]]
         assert got == fluent, kind
+
+
+def test_fused_batch_cutoff_matches_fluent(hybrid):
+    """search_batch(cutoff=N) == with_cutoff(N) fluent execute: autocut
+    applies per modality before fusion in both APIs (VERDICT r3 #6)."""
+    for cutoff in (1, 2):
+        fluent = [
+            (r.get_id(), pytest.approx(r.get_score()))
+            for r in hybrid.new_search()
+            .with_vector(Q).with_text("beta").with_k(6)
+            .with_cutoff(cutoff).execute()
+        ]
+        rows = hybrid.search_batch(
+            Q[None, :], texts=["beta"], k=6, cutoff=cutoff
+        )
+        got = [(r.get_id(), r.get_score()) for r in rows[0]]
+        assert got == fluent, cutoff

@@ -139,23 +139,41 @@ def test_multiquery_equals_aggregated_singles(built, agg, scenario):
 
 @pytest.mark.parametrize("scenario", range(len(SCENARIOS)))
 def test_fluent_vs_batch_equivalence(built, scenario):
-    """Single-query fluent == the matching search_batch row (exactly)."""
+    """Single-query fluent == the matching search_batch row (exactly),
+    including autocut (VERDICT r3 #6: no semantics gap between APIs)."""
     kind, idx = built
     threshold, doc_ids, cutoff = SCENARIOS[scenario]
-    if cutoff != -1:
-        pytest.skip("search_batch has no autocut (per-row top-k API)")
     k = 12
     ids, scores = idx.search_batch(
-        QUERIES, k=k, threshold=threshold, document_ids=doc_ids
+        QUERIES, k=k, threshold=threshold, document_ids=doc_ids, cutoff=cutoff
     )
     for qi, q in enumerate(QUERIES):
-        res = _fluent(idx, q, k, ScoreAggregationKind.SUM, threshold, doc_ids, -1)
+        res = _fluent(idx, q, k, ScoreAggregationKind.SUM, threshold, doc_ids, cutoff)
         want = [r.node.id for r in res]
         got = [int(i) for i in ids[qi] if i != INVALID_ID]
         assert got == want, f"{kind} q{qi}"
         np.testing.assert_allclose(
             scores[qi][: len(want)], [r.score for r in res], rtol=1e-5, atol=1e-5
         )
+
+
+@pytest.mark.parametrize("agg", list(ScoreAggregationKind))
+@pytest.mark.parametrize("cutoff", [-1, 1])
+def test_batch_group_aggregation_equals_fluent_multiquery(built, agg, cutoff):
+    """search_batch(group_size=Q) == the fluent multi-query pipeline: the
+    batch API exposes the full aggregation+autocut surface (VERDICT r3 #6)."""
+    kind, idx = built
+    k = 15
+    ids, scores = idx.search_batch(
+        QUERIES, k=k, aggregation=agg, group_size=len(QUERIES), cutoff=cutoff
+    )
+    assert ids.shape == (1, k)
+    want = _fluent(idx, QUERIES, k, agg, 0.0, None, cutoff)
+    got = [int(i) for i in ids[0] if i != INVALID_ID]
+    assert got == [r.node.id for r in want], kind
+    np.testing.assert_allclose(
+        scores[0][: len(want)], [r.score for r in want], rtol=1e-5, atol=1e-5
+    )
 
 
 @pytest.mark.parametrize("scenario", range(len(SCENARIOS)))
