@@ -51,13 +51,22 @@ class FlatIndex(BaseVectorIndex):
     """Exact brute-force kNN index (reference: flat_index.go:65-94).
 
     `storage` selects the device-resident precision: "float32" (default,
-    bit-exact parity with the scalar-f32 reference incl. tie order) or
+    bit-exact parity with the scalar-f32 reference incl. tie order),
     "bfloat16"/"float16" (half the HBM traffic and native single-pass MXU
     matmuls — ~0.3% relative distance error, recall impact negligible on
-    real datasets). The host-canonical copy stays float32 either way, so
-    serialization and flush are lossless. This wires the reference's
-    standalone-but-unused quantizer module (quantizer.go; SURVEY.md §2 #3)
-    into an actual index.
+    real datasets), or "int8" (symmetric abs-max quantization, a QUARTER of
+    the f32 HBM traffic; quantizer.go:180-247's Int8Quantizer — which the
+    reference ships but never wires into any index — as actual index
+    storage). The host-canonical copy stays float32 either way, so
+    serialization and flush are lossless.
+
+    int8 details: the scale is abs-max/127 — either trained once via
+    `train(sample)` (fixed thereafter, like Int8Quantizer.Train) or, when
+    untrained, fitted to the live corpus per mutation epoch. `rerank=True`
+    adds an exact-f32 refinement: the int8 scan over-fetches
+    `rerank_factor * k` candidates and the true top-k is recomputed from
+    the float32 originals (host-side — the f32 corpus never occupies HBM),
+    recovering exact distances at the cost of a slightly wider download.
     """
 
     def __init__(
@@ -65,14 +74,24 @@ class FlatIndex(BaseVectorIndex):
         dim: int,
         distance_kind: DistanceKind = DistanceKind.L2,
         storage: str = "float32",
+        rerank: bool = False,
+        rerank_factor: int = 4,
     ):
         super().__init__(dim, distance_kind)
-        if storage not in ("float32", "bfloat16", "float16"):
+        if storage not in ("float32", "bfloat16", "float16", "int8"):
             raise InvalidConfigError(
                 f"unsupported flat storage dtype: {storage!r} "
-                "(use float32, bfloat16, or float16)"
+                "(use float32, bfloat16, float16, or int8)"
+            )
+        if rerank and storage == "float32":
+            raise InvalidConfigError(
+                "rerank=True needs lossy storage (the float32 scan is exact)"
             )
         self._storage = storage
+        self._rerank = bool(rerank)
+        self._rerank_factor = max(int(rerank_factor), 2)
+        self._int8_scale = None        # trained scale (None = fit per epoch)
+        self._dev_scale = None         # device copy of the epoch's scale
         self._dev_cast = None
         self._dev_cast_version = -1
         self._dev_t = None
@@ -86,7 +105,18 @@ class FlatIndex(BaseVectorIndex):
         return VectorIndexKind.FLAT
 
     def train(self, vectors=None) -> None:
-        """Flat index requires no training (parity: flat Train is a no-op)."""
+        """Flat index requires no training (parity: flat Train is a no-op) —
+        except int8 storage, where a training sample fixes the abs-max scale
+        (quantizer.go Int8Quantizer.Train); untrained int8 fits the scale to
+        the live corpus per mutation epoch instead."""
+        if self._storage == "int8" and vectors is not None:
+            sample = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+            self._check_dim(sample)
+            prepped = preprocess(sample, self._distance_kind)
+            amax = float(np.abs(prepped).max()) if prepped.size else 0.0
+            with self._lock:
+                self._int8_scale = np.float32(max(amax, 1e-30) / 127.0)
+                self._dev_cast_version = -1  # requantize on next search
         return None
 
     # -- mutation --------------------------------------------------------------
@@ -134,9 +164,33 @@ class FlatIndex(BaseVectorIndex):
         if self._storage == "float32":
             return self._store.device_state()
         if self._dev_cast_version != self._store.version:
-            vecs32, sqnorms, valid = self._store.device_state()
-            dtype = jnp.bfloat16 if self._storage == "bfloat16" else jnp.float16
-            self._dev_cast = (vecs32.astype(dtype), sqnorms, valid)
+            if self._storage == "int8":
+                # quantize host-side from the f32 canonical copy; only the
+                # int8 rows (+ dequant-domain sqnorms) ever reach HBM
+                store = self._store
+                n = store.n
+                scale = self._int8_scale
+                if scale is None:
+                    amax = (
+                        float(np.abs(store.vectors[:n][store.valid[:n]]).max())
+                        if store.valid[:n].any() else 0.0
+                    )
+                    scale = np.float32(max(amax, 1e-30) / 127.0)
+                q = np.clip(
+                    np.rint(store.vectors / scale), -127, 127
+                ).astype(np.int8)
+                deq = q.astype(np.float32) * scale
+                sqn = np.einsum("nd,nd->n", deq, deq).astype(np.float32)
+                self._dev_scale = jnp.asarray(scale)
+                self._dev_cast = (
+                    jnp.asarray(q), jnp.asarray(sqn), jnp.asarray(store.valid)
+                )
+            else:
+                vecs32, sqnorms, valid = self._store.device_state()
+                dtype = (
+                    jnp.bfloat16 if self._storage == "bfloat16" else jnp.float16
+                )
+                self._dev_cast = (vecs32.astype(dtype), sqnorms, valid)
             self._dev_cast_version = self._store.version
         return self._dev_cast
 
@@ -174,7 +228,9 @@ class FlatIndex(BaseVectorIndex):
             return ("empty", queries.shape[0])
 
         k_eff = sanitize_k(builder._k, n_slots)
-        k_pad = min(next_pow2(k_eff), store.capacity)
+        rerank = self._rerank and self._storage != "float32"
+        k_want = min(k_eff * self._rerank_factor, n_slots) if rerank else k_eff
+        k_pad = min(next_pow2(k_want), store.capacity)
         super_tile = min(store.capacity, DEFAULT_TILE * 8)
 
         qprep = preprocess(queries, self._distance_kind)
@@ -233,11 +289,12 @@ class FlatIndex(BaseVectorIndex):
             # Only worth it when the saved bytes outweigh the 2 extra eager
             # dispatches (~1 ms host enqueue): single-query latency paths
             # download the padded row and crop on host (collect does both).
-            pad_bytes = 8 * (s.shape[0] * s.shape[1] - q_real * k_eff)
+            k_keep = k_want if rerank else k_eff
+            pad_bytes = 8 * (s.shape[0] * s.shape[1] - q_real * k_keep)
             if pad_bytes > (1 << 17) and (
-                k_eff < s.shape[1] or q_real < s.shape[0]
+                k_keep < s.shape[1] or q_real < s.shape[0]
             ):
-                s, i = s[:q_real, :k_eff], i[:q_real, :k_eff]
+                s, i = s[:q_real, :k_keep], i[:q_real, :k_keep]
             # start the host copies now so a pipelined caller's next batch
             # computes while these results stream back over the tunnel
             try:
@@ -245,8 +302,12 @@ class FlatIndex(BaseVectorIndex):
                 i.copy_to_host_async()
             except AttributeError:  # pragma: no cover - non-jax.Array impls
                 pass
-            return ("dev", s, i, q_real, k_eff, store.ids)
+            handle = ("dev", s, i, q_real, k_keep, store.ids)
+            if rerank:
+                return ("rerank", handle, qprep, k_eff, builder._threshold)
+            return handle
 
+        scale = self._dev_scale if self._storage == "int8" else None
         chunks = []
         for q0 in range(0, qpad.shape[0], QUERY_CHUNK):
             qc = jnp.asarray(qpad[q0 : q0 + QUERY_CHUNK])
@@ -254,14 +315,72 @@ class FlatIndex(BaseVectorIndex):
                 block_topk(
                     qc, vecs, sqnorms, valid, thr,
                     k_pad, self._distance_kind, super_tile=super_tile,
+                    scale=scale,
                 )
             )
-        return ("dev_chunks", chunks, q_real, k_eff, store.ids)
+        handle = ("dev_chunks", chunks, q_real, k_want if rerank else k_eff,
+                  store.ids)
+        if rerank:
+            return ("rerank", handle, qprep, k_eff, builder._threshold)
+        return handle
 
     def _search_collect(self, handle):
         from comet_tpu.indexes.base import collect_device_handle
 
-        return collect_device_handle(handle)
+        if handle[0] != "rerank":
+            return collect_device_handle(handle)
+        return self._collect_rerank(*handle[1:])
+
+    def _collect_rerank(self, inner, qprep, k_eff, threshold):
+        """Exact-f32 refinement of a lossy-storage scan's candidates.
+
+        The scan over-fetched rerank_factor*k candidates per query in the
+        quantized/reduced distance domain; recompute their TRUE distances
+        from the host-canonical float32 originals (tiny [Q, kc, d] einsum),
+        re-apply the metric-space threshold, and keep the deterministic
+        (score, slot)-ascending top k_eff. HBM never holds the f32 corpus.
+        """
+        import jax
+
+        from comet_tpu.indexes.base import collect_device_handle
+
+        if inner[0] == "empty":
+            return collect_device_handle(inner)
+        if inner[0] == "dev":
+            _, s, i, q_real, kc, ids_snap = inner
+            scores, slots = jax.device_get((s, i))
+            scores, slots = scores[:q_real], slots[:q_real]
+        else:
+            _, chunks, q_real, kc, ids_snap = inner
+            chunks = jax.device_get(chunks)
+            scores = np.concatenate([a for a, _ in chunks])[:q_real]
+            slots = np.concatenate([b for _, b in chunks])[:q_real]
+        slots = slots[:, :kc].astype(np.int64)
+        hit = slots != int(IDX_SENTINEL)
+        safe = np.where(hit, slots, 0)
+        vecs = self._store.vectors[safe]                 # [Q, kc, d]
+        q = qprep[:q_real]
+        ip = np.einsum("qd,qcd->qc", q, vecs, optimize=True)
+        if self._distance_kind == DistanceKind.COSINE:
+            exact = 1.0 - np.clip(ip, -1.0, 1.0)
+        else:
+            xn = np.einsum("qcd,qcd->qc", vecs, vecs, optimize=True)
+            qn = np.einsum("qd,qd->q", q, q)[:, None]
+            exact = np.maximum(qn + xn - 2.0 * ip, 0.0)
+            if self._distance_kind == DistanceKind.L2:
+                exact = np.sqrt(exact)
+        thr = threshold_scalar(threshold)
+        exact = np.where(hit & (exact <= thr), exact, np.inf).astype(np.float32)
+        slots = np.where(np.isfinite(exact), slots, int(IDX_SENTINEL))
+        slot_key = np.where(
+            slots == int(IDX_SENTINEL), np.iinfo(np.int64).max, slots
+        )
+        order = np.lexsort((slot_key, exact), axis=1)[:, :k_eff]
+        exact = np.take_along_axis(exact, order, axis=1)
+        slots = np.take_along_axis(slots, order, axis=1)
+        hit = slots != int(IDX_SENTINEL)
+        ids = np.where(hit, ids_snap[np.where(hit, slots, 0)], INVALID_ID)
+        return ids.astype(np.uint32), exact
 
     # -- serialization ----------------------------------------------------------
 

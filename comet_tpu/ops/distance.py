@@ -62,20 +62,31 @@ def pairwise_scores_from_norms(
     corpus: jax.Array,
     corpus_sqnorms: jax.Array,
     kind: DistanceKind,
+    scale: jax.Array | None = None,
 ) -> jax.Array:
     """Like `pairwise_scores` but with precomputed corpus squared norms.
 
     Avoids re-reducing the corpus on every call when it is resident in HBM.
     When the corpus is stored reduced-precision (bfloat16 fast path), the
     matmul runs native single-pass bf16 on the MXU; full-f32 inputs keep the
-    exactness-preserving multi-pass precision.
+    exactness-preserving multi-pass precision. An int8 corpus is symmetric
+    abs-max quantized storage (quantizer.go:180-247 wired into the scan):
+    `scale` dequantizes the inner product, `corpus_sqnorms` must already be
+    in the dequantized domain, and the HBM read is a quarter of f32 — the
+    int8 values cast to bf16 exactly (8 significand bits cover ±127).
     """
-    reduced = corpus.dtype != jnp.float32
-    q = queries.astype(corpus.dtype) if reduced else queries
-    ip = jnp.dot(
-        q, corpus.T, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT if reduced else DEFAULT_PRECISION,
-    )
+    if corpus.dtype == jnp.int8:
+        ip = jnp.dot(
+            queries.astype(jnp.bfloat16), corpus.T.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) * scale
+    else:
+        reduced = corpus.dtype != jnp.float32
+        q = queries.astype(corpus.dtype) if reduced else queries
+        ip = jnp.dot(
+            q, corpus.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT if reduced else DEFAULT_PRECISION,
+        )
     if kind == DistanceKind.COSINE:
         return 1.0 - jnp.clip(ip, -1.0, 1.0)
     qn = jnp.sum(queries * queries, axis=1, keepdims=True).astype(jnp.float32)

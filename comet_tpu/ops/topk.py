@@ -162,8 +162,12 @@ def block_topk(
     kind: DistanceKind,
     block: int = 128,
     super_tile: int = 1 << 20,
+    scale: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact masked k-NN via two-level block selection (fast path).
+
+    `scale` dequantizes an int8 `corpus` (symmetric abs-max storage;
+    corpus_sqnorms must be dequantized-domain).
 
     Same contract as `scan_topk`, but ~6x cheaper selection: XLA's TopK costs
     ~O(k * N) per query; here the corpus is split into contiguous groups of
@@ -184,7 +188,9 @@ def block_topk(
     num_super = N // st
 
     def one_super(x_st, sqn_st, valid_st, base):
-        dist = pairwise_scores_from_norms(queries, x_st, sqn_st, kind)  # [Q, st]
+        dist = pairwise_scores_from_norms(
+            queries, x_st, sqn_st, kind, scale=scale
+        )  # [Q, st]
         mask = valid_st[None, :] & (dist <= threshold)
         dist = jnp.where(mask, dist, INF)
         return block_select_from_dist(dist, k, block, base)
