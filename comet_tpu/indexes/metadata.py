@@ -138,6 +138,40 @@ def not_(f: Filter) -> Filter:
     return Filter(f.field, _NOT_TABLE.get(f.operator, f.operator), f.value, f.value2)
 
 
+def _and_fold(parts: list[tuple[Bitset, bool]]) -> Bitset:
+    """AND a list of (bitset, shared) predicate results into ONE owned
+    bitset with a single output allocation — inputs are never mutated, so
+    live planes and BSI cache entries participate copy-free. AND truncates
+    to the shortest word array (bits past a shorter operand are 0)."""
+    if not parts:
+        return Bitset()
+    if len(parts) == 1:
+        bs, shared = parts[0]
+        return bs.clone() if shared else bs
+    n = min(len(bs.words) for bs, _ in parts)
+    out = np.bitwise_and(parts[0][0].words[:n], parts[1][0].words[:n])
+    for bs, _ in parts[2:]:
+        np.bitwise_and(out, bs.words[:n], out=out)
+    return Bitset(out)
+
+
+def _or_fold(parts: list[tuple[Bitset, bool]]) -> Bitset:
+    """OR-fold counterpart of `_and_fold` (output sized to the longest)."""
+    if not parts:
+        return Bitset()
+    if len(parts) == 1:
+        bs, shared = parts[0]
+        return bs.clone() if shared else bs
+    n = max(len(bs.words) for bs, _ in parts)
+    first = parts[0][0].words
+    out = np.zeros(n, dtype=np.uint64)
+    out[: len(first)] = first
+    for bs, _ in parts[1:]:
+        w = bs.words
+        np.bitwise_or(out[: len(w)], w, out=out[: len(w)])
+    return Bitset(out)
+
+
 @dataclass
 class FilterGroup:
     """Filters combined with AND/OR; groups OR together
@@ -466,106 +500,112 @@ class RoaringMetadataIndex:
                 result.ior(bs)
         return result
 
-    def _eval_categorical(self, f: Filter) -> Bitset:
+    def _eval_categorical_ro(self, f: Filter) -> tuple[Bitset, bool]:
+        """(bitset, shared): shared=True means the result is a LIVE plane
+        the caller must not mutate."""
         op = f.operator or "eq"
         if op == "eq":
             key = f"{f.field}:{_cat_value(f.value)}"
             bs = self._categorical.get(key)
-            return bs.clone() if bs is not None else Bitset()
+            return (bs, True) if bs is not None else (Bitset(), False)
         if op == "ne":
             key = f"{f.field}:{_cat_value(f.value)}"
             result = self._all_docs.clone()
             bs = self._categorical.get(key)
             if bs is not None:
                 result.iandnot(bs)
-            return result
+            return result, False
         if op in ("gt", "gte", "lt", "lte", "range"):
             # Numeric operator on a field this index has never seen as
             # numeric: no matches. (The reference errors here, which makes a
             # hybrid/LSM search fail whenever ANY source — e.g. an empty
             # memtable — lacks the field; returning empty is the sane LSM
             # semantics.)
-            return Bitset()
+            return Bitset(), False
         raise InvalidConfigError(f"unsupported operator for categorical field: {op}")
 
-    def _eval_numeric(self, bsi: BSI, f: Filter) -> Bitset:
+    def _eval_numeric(self, bsi: BSI, f: Filter, ro: bool = False) -> Bitset:
+        """ro=True may return the BSI's cached result object (do not
+        mutate) — skips one full-plane copy per predicate."""
         op = f.operator or "eq"
         if op == "eq":
-            return bsi.compare_eq(_to_fixed(f.value))
+            return bsi.compare_eq(_to_fixed(f.value), ro=ro)
         if op == "ne":
-            return bsi.ebm.andnot(bsi.compare_eq(_to_fixed(f.value)))
+            return bsi.ebm.andnot(bsi.compare_eq(_to_fixed(f.value), ro=True))
         if op == "gt":
-            return bsi.compare_gt(_to_fixed(f.value))
+            return bsi.compare_gt(_to_fixed(f.value), ro=ro)
         if op == "gte":
-            return bsi.compare_ge(_to_fixed(f.value))
+            return bsi.compare_ge(_to_fixed(f.value), ro=ro)
         if op == "lt":
-            return bsi.compare_lt(_to_fixed(f.value))
+            return bsi.compare_lt(_to_fixed(f.value), ro=ro)
         if op == "lte":
-            return bsi.compare_le(_to_fixed(f.value))
+            return bsi.compare_le(_to_fixed(f.value), ro=ro)
         if op == "range":
-            return bsi.compare_range(_to_fixed(f.value), _to_fixed(f.value2))
+            return bsi.compare_range(
+                _to_fixed(f.value), _to_fixed(f.value2), ro=ro
+            )
         raise InvalidConfigError(f"unsupported operator for numeric field: {op}")
 
-    def _eval_filter(self, f: Filter) -> Bitset:
+    def _eval_filter_ro(self, f: Filter) -> tuple[Bitset, bool]:
+        """Evaluate one predicate WITHOUT defensive copies: returns
+        (bitset, shared). shared results are live planes / cache entries —
+        the fold helpers below never mutate their inputs, which is what
+        makes the 10M-doc filter path allocation-minimal (one output
+        buffer per query instead of a clone per predicate)."""
         op = f.operator or "eq"
         if op == "exists":
-            return self._existence(f.field)
+            return self._existence(f.field), False
         if op == "not_exists":
             result = self._all_docs.clone()
             result.iandnot(self._existence(f.field))
-            return result
+            return result, False
         # route by PREDICATE VALUE type, like the reference's evaluateFilter
         # type switch (metadata_index.go:258-330): bool/str predicates hit
         # the categorical planes even when the field also has a numeric BSI
         # (mixed-type fields), numeric predicates hit the BSI. in/not_in
         # decompose into per-value eq so each value routes independently.
         if op == "in":
-            acc = Bitset()
-            for v in f.value:
-                acc.ior(self._eval_filter(Filter(f.field, "eq", v)))
-            return acc
+            parts = [
+                self._eval_filter_ro(Filter(f.field, "eq", v)) for v in f.value
+            ]
+            return _or_fold(parts), False
         if op == "not_in":
             result = self._all_docs.clone()
             for v in f.value:
-                result.iandnot(self._eval_filter(Filter(f.field, "eq", v)))
-            return result
+                result.iandnot(
+                    self._eval_filter_ro(Filter(f.field, "eq", v))[0]
+                )
+            return result, False
         bsi = self._numeric.get(f.field)
         categorical_value = isinstance(f.value, (bool, str, np.bool_, np.str_))
         if bsi is not None and not categorical_value:
-            return self._eval_numeric(bsi, f)
-        return self._eval_categorical(f)
+            return self._eval_numeric(bsi, f, ro=True), True
+        return self._eval_categorical_ro(f)
+
+    def _eval_filter(self, f: Filter) -> Bitset:
+        """Owned (mutation-safe) single-predicate evaluation."""
+        bs, shared = self._eval_filter_ro(f)
+        return bs.clone() if shared else bs
 
     def _eval(self, filters: list[Filter], groups: list[FilterGroup]) -> Bitset:
         if groups:
-            final: Bitset | None = None
+            parts = []
             for g in groups:
                 if not g.filters:
-                    gr = self._all_docs.clone()
+                    parts.append((self._all_docs, True))
+                elif g.logic == "AND":
+                    parts.append(
+                        (_and_fold([self._eval_filter_ro(f) for f in g.filters]),
+                         False)
+                    )
                 else:
-                    gr = None
-                    for f in g.filters:
-                        bm = self._eval_filter(f)
-                        if gr is None:
-                            gr = bm
-                        elif g.logic == "AND":
-                            gr.iand(bm)
-                            if gr.is_empty():
-                                break
-                        else:
-                            gr.ior(bm)
-                final = gr if final is None else final.or_(gr)
-            return final if final is not None else Bitset()
+                    parts.append(
+                        (_or_fold([self._eval_filter_ro(f) for f in g.filters]),
+                         False)
+                    )
+            return _or_fold(parts)
         if filters:
-            result: Bitset | None = None
-            for f in filters:
-                bm = self._eval_filter(f)
-                if result is None:
-                    result = bm
-                else:
-                    result.iand(bm)
-                if result.is_empty():
-                    return result
-            return result if result is not None else Bitset()
+            return _and_fold([self._eval_filter_ro(f) for f in filters])
         # neither set: all documents (metadata_index_search.go Execute)
         return self._all_docs.clone()
 

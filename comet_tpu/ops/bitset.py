@@ -232,10 +232,10 @@ class BSI:
 
     # -- comparisons -----------------------------------------------------------
 
-    def _predicate(self, key, opcode, lo, hi, fn) -> Bitset:
+    def _predicate(self, key, opcode, lo, hi, fn, ro: bool = False) -> Bitset:
         hit = self._cache.get(key)
         if hit is not None:
-            return hit.clone()
+            return hit if ro else hit.clone()
         from comet_tpu import native
 
         words = native.bsi_compare_pack(
@@ -254,35 +254,36 @@ class BSI:
         if len(self._cache) >= 256:
             self._cache.clear()
         self._cache[key] = out
-        return out.clone()
+        return out if ro else out.clone()
 
-    def compare_gt(self, value: int) -> Bitset:
+    def compare_gt(self, value: int, ro: bool = False) -> Bitset:
         b = np.uint64((int(value) + (1 << 63)) & ((1 << 64) - 1))
-        return self._predicate(("gt", int(value)), 0, b, 0, lambda v: v > b)
+        return self._predicate(("gt", int(value)), 0, b, 0, lambda v: v > b, ro)
 
-    def compare_ge(self, value: int) -> Bitset:
+    def compare_ge(self, value: int, ro: bool = False) -> Bitset:
         b = np.uint64((int(value) + (1 << 63)) & ((1 << 64) - 1))
-        return self._predicate(("ge", int(value)), 1, b, 0, lambda v: v >= b)
+        return self._predicate(("ge", int(value)), 1, b, 0, lambda v: v >= b, ro)
 
-    def compare_eq(self, value: int) -> Bitset:
+    def compare_eq(self, value: int, ro: bool = False) -> Bitset:
         b = np.uint64((int(value) + (1 << 63)) & ((1 << 64) - 1))
-        return self._predicate(("eq", int(value)), 2, b, 0, lambda v: v == b)
+        return self._predicate(("eq", int(value)), 2, b, 0, lambda v: v == b, ro)
 
-    def compare_lt(self, value: int) -> Bitset:
+    def compare_lt(self, value: int, ro: bool = False) -> Bitset:
         b = np.uint64((int(value) + (1 << 63)) & ((1 << 64) - 1))
-        return self._predicate(("lt", int(value)), 3, b, 0, lambda v: v < b)
+        return self._predicate(("lt", int(value)), 3, b, 0, lambda v: v < b, ro)
 
-    def compare_le(self, value: int) -> Bitset:
+    def compare_le(self, value: int, ro: bool = False) -> Bitset:
         b = np.uint64((int(value) + (1 << 63)) & ((1 << 64) - 1))
-        return self._predicate(("le", int(value)), 4, b, 0, lambda v: v <= b)
+        return self._predicate(("le", int(value)), 4, b, 0, lambda v: v <= b, ro)
 
-    def compare_range(self, lo: int, hi: int) -> Bitset:
-        """Inclusive [lo, hi]."""
+    def compare_range(self, lo: int, hi: int, ro: bool = False) -> Bitset:
+        """Inclusive [lo, hi]; ro=True may return the cached result object
+        (callers must not mutate — the metadata fold path never does)."""
         bl = np.uint64((int(lo) + (1 << 63)) & ((1 << 64) - 1))
         bh = np.uint64((int(hi) + (1 << 63)) & ((1 << 64) - 1))
         return self._predicate(
             ("range", int(lo), int(hi)), 5, bl, bh,
-            lambda v: (v >= bl) & (v <= bh),
+            lambda v: (v >= bl) & (v <= bh), ro,
         )
 
 
