@@ -80,12 +80,15 @@ def load_data():
             if gt is not None:
                 gt = np.tile(gt, (reps, 1))[:BATCH]
         return base, queries.astype(np.float32), gt
-    if os.environ.get("COMET_SIFTGEN"):
-        # SIFT-descriptor synthetic corpus (real Lowe descriptors over
-        # synthetic imagery, comet_tpu/io/siftgen.py): marginal statistics
-        # and PQ codebook distortion match real texmex data by
-        # construction; neighbor structure is modeled (re-observation
-        # ladders), not measured against SIFT1M ground truth.
+    if os.environ.get("COMET_SIFTGEN", "1") != "0":
+        # DEFAULT corpus (VERDICT r3 #3): SIFT-descriptor synthetic data
+        # (real Lowe-pipeline descriptors over synthetic imagery,
+        # comet_tpu/io/siftgen.py) — marginal statistics and PQ codebook
+        # distortion match real texmex data by construction, so PQ/IVFPQ
+        # recall rows are apples-to-apples with the reference's SIFT1M
+        # figures. COMET_SIFTGEN=0 selects the older Gaussian-mixture
+        # corpus; neighbor structure is modeled (re-observation ladders),
+        # not measured against SIFT1M ground truth.
         from comet_tpu.io import siftgen
 
         log(f"dataset: siftgen synthetic descriptors ({N} x {DIM})")
@@ -183,6 +186,17 @@ def bench_all(corpus, queries, truth_ids, truth100=None):
     qps, ids = bench_flat(corpus, queries, storage="bfloat16")
     results["flat_bf16"] = (qps, recall(ids[:, :10], truth10), rec100(ids))
 
+    # int8 flat (abs-max quantized storage, VERDICT r3 #7) + exact rerank
+    from comet_tpu.indexes.flat import FlatIndex as _FI
+    from comet_tpu.types import DistanceKind as _DK
+
+    for rr in (False, True):
+        idx = _FI(DIM, _DK.L2, storage="int8", rerank=rr)
+        idx.add_batch(corpus, ids=IDS)
+        qps, ids = time_search(idx, queries, K)
+        report(f"flat_int8{'_rerank' if rr else ''}", qps, ids)
+        del idx
+
     # IVF nlist=1024 (baseline: train 38.5s, add 82s; reference op points
     # nprobe 5/10/20 -> 78.5/89.2/94.7% recall@100, docs/INDEX.md:2836-2849)
     idx = IVFIndex(DIM, 1024, DistanceKind.L2)
@@ -277,27 +291,51 @@ def bench_all(corpus, queries, truth_ids, truth100=None):
             results[f"hnsw1m_iters{iters}"] = (qps, None, r100)
         del idx
 
-    # BM25 (baseline: 2000 docs/s index; 3-12 ms/query)
+    # BM25 at the reference's scale: 1M docs x 60 tokens (baseline: 2,000
+    # docs/s ingest; 1/2/10-term = 3/8/12 ms on 1M Wikipedia docs,
+    # docs/INDEX.md:6319-6350). Letter-only zipf vocabulary (UAX#29 keeps
+    # each word whole); wordlike_only skips whitespace segments — the
+    # production configuration (parity mode indexes every segment, which
+    # makes EVERY query also scan the 1M-doc " " posting like the
+    # reference's code would).
     rng = np.random.default_rng(1)
-    vocab = [f"term{i}" for i in range(50_000)]
-    n_docs = 200_000
-    bm = BM25SearchIndex()
-    zipf = rng.zipf(1.3, size=(n_docs, 40)) % len(vocab)
-    texts = [" ".join(vocab[t] for t in zipf[i]) for i in range(n_docs)]
+    n_vocab = 50_000
+    vocab = np.array(
+        ["".join(chr(97 + (i // 26 ** j) % 26) for j in range(4)) + "x"
+         for i in range(n_vocab)]
+    )
+    n_docs = 1_000_000
+    bm = BM25SearchIndex(wordlike_only=True)
+    zipf = rng.zipf(1.3, size=(n_docs, 60)) % n_vocab
+    texts = [" ".join(vocab[t]) for t in zipf]
     t0 = time.perf_counter()
     bm.add_batch(range(1, n_docs + 1), texts)
     t_index = time.perf_counter() - t0
-    log(f"bm25 index {n_docs} docs: {t_index:.1f}s ({n_docs / t_index:.0f} docs/s)")
+    log(f"bm25 index {n_docs} docs x60 tokens: {t_index:.1f}s "
+        f"({n_docs / t_index:.0f} docs/s)")
+    results["bm25_ingest_docs_per_s"] = (n_docs / t_index, None)
+    # mid-frequency query terms (zipf ranks 100..5000 — the shape of real
+    # search terms; rank-1 terms appear in ~every doc and any engine's
+    # latency is then just posting-scan bandwidth)
+    qterms = [vocab[100 + (i * 37) % 4900] for i in range(4000)]
     # warmup: first query pays the one-time native postings-CSR build
-    # (~seconds at 200k docs), the analog of XLA compile warmup elsewhere
-    bm.new_search().with_query("term0 term1").with_k(10).execute()
+    bm.new_search().with_query(qterms[0]).with_k(10).execute()
+    for nt, nq in ((1, 300), (2, 300), (10, 100)):
+        t0 = time.perf_counter()
+        for i in range(nq):
+            q = " ".join(qterms[(i * nt + j) % len(qterms)] for j in range(nt))
+            bm.new_search().with_query(q).with_k(10).execute()
+        dt = time.perf_counter() - t0
+        log(f"bm25 {nt}-term query: {1e3 * dt / nq:.2f} ms/query ({nq / dt:.0f} QPS)")
+        results[f"bm25_{nt}term_ms"] = (1e3 * dt / nq, None)
+    qs = [qterms[i] + " " + qterms[(i * 7) % len(qterms)] for i in range(256)]
+    bm.search_batch(qs, k=10)
     t0 = time.perf_counter()
-    nq = 200
-    for i in range(nq):
-        bm.new_search().with_query(f"term{i % 100} term{(i * 7) % 1000}").with_k(10).execute()
+    bm.search_batch(qs, k=10)
     dt = time.perf_counter() - t0
-    log(f"bm25 2-term query: {1e3 * dt / nq:.2f} ms/query ({nq / dt:.0f} QPS)")
-    results["bm25_2term"] = (nq / dt, None)
+    log(f"bm25 2-term batch x256: {1e3 * dt / 256:.3f} ms/query ({256 / dt:.0f} QPS)")
+    results["bm25_2term_batch_ms"] = (1e3 * dt / 256, None)
+    del bm, texts, zipf
 
     # Hybrid end-to-end (baseline claim: P95 15 ms / P99 35 ms @ 5M docs,
     # docs/INDEX.md:8380-8386) — vector + text + metadata filter + RRF
@@ -307,7 +345,8 @@ def bench_all(corpus, queries, truth_ids, truth100=None):
 
     n_h = 100_000
     hybrid = new_hybrid_search_index(
-        _FF(DIM, DistanceKind.L2), BM25SearchIndex(), RoaringMetadataIndex()
+        _FF(DIM, DistanceKind.L2), BM25SearchIndex(wordlike_only=True),
+        RoaringMetadataIndex(),
     )
     hv = hybrid.vector_index()
     hv.add_batch(corpus[:n_h], ids=IDS[:n_h])
@@ -351,35 +390,74 @@ def bench_all(corpus, queries, truth_ids, truth100=None):
     results["hybrid_p95_ms"] = (float(lat[int(nq * 0.95)]), None)
     del hybrid
 
-    # Metadata (baseline: add 540k docs/s, 1-filter 45us, 4-filter 180us on 10M)
+    # Metadata at the reference's scale: 10M docs x 4 fields (baseline:
+    # add 540k docs/s, 1-filter 45us, 4-filter 180us, 8-filter 420us —
+    # docs/INDEX.md:7242-7276)
+    from comet_tpu.indexes.metadata import between, in_filter, lt
+
     mi = RoaringMetadataIndex()
     cats = ["a", "b", "c", "d", "e"]
-    n_meta = 1_000_000
-    prices = rng.integers(0, 10_000, size=n_meta)
+    n_meta = 10_000_000
+    rng_m = np.random.default_rng(7)
+    prices = rng_m.integers(0, 10_000, size=n_meta)
+    stock = rng_m.integers(0, 1_000, size=n_meta)
+    brand_col = np.array([f"brand{i}" for i in range(100)])[
+        rng_m.integers(0, 100, n_meta)
+    ]
     meta_ids = np.arange(1, n_meta + 1, dtype=np.uint64)
     cat_col = np.array(cats)[np.arange(n_meta) % 5]
     t0 = time.perf_counter()
-    mi.add_columns(meta_ids, {"cat": cat_col, "price": prices})
+    mi.add_columns(
+        meta_ids,
+        {"cat": cat_col, "brand": brand_col, "price": prices, "stock": stock},
+    )
     t_index = time.perf_counter() - t0
     log(f"metadata add_columns {n_meta}: {t_index:.2f}s ({n_meta / t_index:.0f} docs/s)")
-    # node-based batch path for comparison (per-doc Python routing)
+    results["metadata_add_docs_per_s"] = (n_meta / t_index, None)
+    # node-based batch path for comparison at 1M (per-doc Python routing)
     mi_nodes = RoaringMetadataIndex()
     batch = [
         new_metadata_node_with_id(i + 1, {"cat": cats[i % 5], "price": int(prices[i])})
-        for i in range(n_meta)
+        for i in range(1_000_000)
     ]
     t0 = time.perf_counter()
     mi_nodes.add_batch(batch)
     t_nodes = time.perf_counter() - t0
-    log(f"metadata add_batch(nodes) {n_meta}: {t_nodes:.1f}s ({n_meta / t_nodes:.0f} docs/s)")
+    log(f"metadata add_batch(nodes) 1M: {t_nodes:.1f}s ({1_000_000 / t_nodes:.0f} docs/s)")
     del mi_nodes, batch
+
+    def meta_lat(name, mk, nq=300):
+        mi._eval(mk(0), [])  # warm BSI caches
+        t0 = time.perf_counter()
+        for i in range(nq):
+            mi._eval(mk(i), [])  # raw eval (filter_bitset memo bypassed)
+        dt = time.perf_counter() - t0
+        log(f"metadata {name}: {1e6 * dt / nq:.0f} us/query ({nq / dt:.0f} QPS)")
+        results[f"metadata_{name}"] = (nq / dt, None)
+
+    meta_lat("1filter_eq", lambda i: [eq("cat", cats[i % 5])])
+    meta_lat("2filter_and", lambda i: [eq("cat", cats[i % 5]), gte("price", 5000)])
+    meta_lat(
+        "4filter_and",
+        lambda i: [eq("cat", cats[i % 5]), eq("brand", "brand7"),
+                   gte("price", 2000), lt("stock", 500)],
+    )
+    meta_lat(
+        "8filter_and",
+        lambda i: [eq("cat", cats[i % 5]), eq("brand", "brand7"),
+                   gte("price", 2000), lt("price", 8000), gte("stock", 100),
+                   lt("stock", 900), in_filter("cat", "a", "b"),
+                   between("price", 2500, 7500)],
+        nq=150,
+    )
+    # memoized serving path (repeat predicate traffic)
     t0 = time.perf_counter()
     nq = 500
     for i in range(nq):
         mi.filter_bitset([eq("cat", cats[i % 5]), gte("price", 5000)])
     dt = time.perf_counter() - t0
-    log(f"metadata 2-filter AND: {1e6 * dt / nq:.0f} us/query ({nq / dt:.0f} QPS)")
-    results["metadata_2filter"] = (nq / dt, None)
+    log(f"metadata 2-filter memoized: {1e6 * dt / nq:.0f} us/query")
+    results["metadata_2filter_memoized_us"] = (1e6 * dt / nq, None)
 
     return results
 

@@ -15,10 +15,13 @@ materializes. The reference's per-vector scalar loop
 
 from __future__ import annotations
 
+from functools import partial
 from typing import BinaryIO, Iterable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from comet_tpu.core.filter import DocumentFilter
 from comet_tpu.core.limiter import sanitize_k
@@ -45,6 +48,30 @@ DEFAULT_TILE = 1 << 17
 
 # Query rows per device dispatch (bounds the [Qc, super_tile] dist buffer).
 QUERY_CHUNK = 256
+
+
+@partial(jax.jit, static_argnames=("rows",))
+def _pad_rows_dev(q: jax.Array, rows: int) -> jax.Array:
+    """Grow a query batch to `rows` on DEVICE: the tunnel uploads only the
+    real rows (a single query host-padded to the kernel's 256-row tile
+    costs ~3 ms of upload; 512 B does not)."""
+    out = jnp.zeros((rows, q.shape[1]), q.dtype)
+    return lax.dynamic_update_slice(out, q, (0, 0))
+
+
+@partial(jax.jit, static_argnames=("cosine",))
+def _mask_from_words(words32, ids, valid, sqnorms, cosine):
+    """Additive +inf kernel mask with the doc-ID filter expanded in-kernel
+    from PACKED 32-bit words (bit i of word w = doc 32w+i) — a dense
+    per-slot bool mask costs cap bytes of tunnel upload per query (1 MB at
+    1M slots, ~22 ms); the packed words cost at most cap/8 and usually far
+    less. Out-of-range ids (beyond the filter's word span) are excluded."""
+    widx = (ids >> jnp.uint32(5)).astype(jnp.int32)
+    in_range = widx < words32.shape[0]
+    w = words32[jnp.minimum(widx, words32.shape[0] - 1)]
+    fbit = (w >> (ids & jnp.uint32(31))) & jnp.uint32(1)
+    ok = valid & in_range & (fbit == 1)
+    return jnp.where(ok, 0.0 if cosine else sqnorms, jnp.inf)
 
 
 class FlatIndex(BaseVectorIndex):
@@ -207,6 +234,22 @@ class FlatIndex(BaseVectorIndex):
     def _search_batch(self, queries: np.ndarray, builder: VectorSearchBuilder):
         return self._search_collect(self._search_launch(queries, builder))
 
+    def _device_ids(self):
+        """Device mirror of the slot->doc-id array (filter-bit expansion)."""
+        if getattr(self, "_dev_ids_version", -1) != self._store.version:
+            self._dev_ids = jnp.asarray(self._store.ids)
+            self._dev_ids_version = self._store.version
+        return self._dev_ids
+
+    def _filter_word_span(self, doc_filter: DocumentFilter) -> int:
+        """64-bit word count covering the filter's id span, pow2-bucketed
+        (bounds jit recompiles across filter sizes)."""
+        if doc_filter._bitset is not None:
+            need = len(doc_filter._bitset.words)
+        else:
+            need = (int(doc_filter._ids.max()) >> 6) + 1
+        return max(next_pow2(need), 8)
+
     def _mask_vec(self, valid, sqnorms, cosine: bool, fmask):
         """Additive +inf mask for the Pallas kernel; cached per store
         version when there is no per-call document filter."""
@@ -238,9 +281,6 @@ class FlatIndex(BaseVectorIndex):
 
         vecs, sqnorms, valid = self._device_arrays()
         doc_filter = DocumentFilter(builder._document_ids)
-        fmask = doc_filter.slot_mask(store.ids)
-        if fmask is not None:
-            valid = jnp.logical_and(valid, jnp.asarray(fmask))
         thr = threshold_scalar(builder._threshold)
 
         # Pallas fast path (TPU, corpus fits one pass): fused distance +
@@ -270,16 +310,23 @@ class FlatIndex(BaseVectorIndex):
             else:
                 # kernel computes squared distances; sqrt/threshold adapt
                 thr_k = thr * thr if self._distance_kind == DistanceKind.L2 else thr
-            mask_vec = self._mask_vec(valid, sqnorms, cosine, fmask)
-            if qpad.shape[0] % P_TQ != 0:
-                grown = np.zeros(
-                    (-(-qpad.shape[0] // P_TQ) * P_TQ, qpad.shape[1]), np.float32
+            if doc_filter.enabled:
+                # packed-words filter expansion on device (single-query
+                # latency: uploads words/8 bytes instead of a dense mask)
+                nw64 = self._filter_word_span(doc_filter)
+                words32 = doc_filter.word_mask(nw64).view(np.uint32)
+                mask_vec = _mask_from_words(
+                    jnp.asarray(words32), self._device_ids(), valid,
+                    sqnorms, cosine,
                 )
-                grown[: qpad.shape[0]] = qpad
-                qpad = grown
+            else:
+                mask_vec = self._mask_vec(valid, sqnorms, cosine, None)
+            qdev = jnp.asarray(qpad)
+            if qpad.shape[0] % P_TQ != 0:
+                qdev = _pad_rows_dev(qdev, -(-qpad.shape[0] // P_TQ) * P_TQ)
             corpus_t = self._device_corpus_t(vecs)
             s, i = flat_topk_pipeline(
-                jnp.asarray(qpad), corpus_t, mask_vec, thr_k, k_pad,
+                qdev, corpus_t, mask_vec, thr_k, k_pad,
                 cosine=cosine,
                 sqrt_out=self._distance_kind == DistanceKind.L2,
             )
@@ -307,6 +354,9 @@ class FlatIndex(BaseVectorIndex):
                 return ("rerank", handle, qprep, k_eff, builder._threshold)
             return handle
 
+        fmask = doc_filter.slot_mask(store.ids)
+        if fmask is not None:
+            valid = jnp.logical_and(valid, jnp.asarray(fmask))
         scale = self._dev_scale if self._storage == "int8" else None
         chunks = []
         for q0 in range(0, qpad.shape[0], QUERY_CHUNK):

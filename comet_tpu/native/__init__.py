@@ -81,7 +81,7 @@ def _load():
         f32p, ctypes.c_float, ctypes.c_float, ctypes.c_float,
         u64p, ctypes.c_int64,          # allowed words, n_docs
         ctypes.c_int, ctypes.c_int,    # q_n, k
-        f32p, ctypes.c_void_p,         # scores scratch, heap scratch
+        f32p, ctypes.c_void_p, i32p,   # scores / heap / candidate scratch
         i32p, f32p,                    # out ids/scores
     ]
     lib.bm25_score_topk.restype = None
@@ -156,6 +156,7 @@ def bm25_score_topk(
     n_docs = len(doc_len)
     scores_buf = np.zeros(n_docs, dtype=np.float32)
     heap = np.zeros(max(k, 1) * 8, dtype=np.uint8)  # entry = 8 bytes
+    cand = np.empty(n_docs, dtype=np.int32)  # per-query first-touch list
     out_ids = np.empty((q_n, k), dtype=np.int32)
     out_scores = np.empty((q_n, k), dtype=np.float32)
     lib.bm25_score_topk(
@@ -169,6 +170,7 @@ def bm25_score_topk(
         q_n, k,
         _p(scores_buf, ctypes.c_float),
         heap.ctypes.data_as(ctypes.c_void_p),
+        _p(cand, ctypes.c_int32),
         _p(out_ids, ctypes.c_int32), _p(out_scores, ctypes.c_float),
     )
     return out_ids, out_scores

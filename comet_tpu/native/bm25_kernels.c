@@ -5,10 +5,12 @@
  * scatter-add over [Q, N] runs at ~1.5M updates/s on the TPU; this loop
  * does ~500M/s). Layout: all terms' postings concatenated into flat
  * (docs, tfs) arrays; each query brings (start, len, idf) triples for its
- * terms. Per query: accumulate into a dense score buffer, then re-walk the
- * query's postings to collect candidates exactly once (the buffer entry is
- * zeroed on first visit, which both dedups multi-term docs and resets the
- * buffer for the next query without a 4 MB memset).
+ * terms. Per query: accumulate into a dense score buffer while appending
+ * each doc to a candidate list on FIRST touch (every BM25 contribution is
+ * strictly positive, so buffer==0 identifies first touch); the collect
+ * pass then walks the candidate list once — not the postings again —
+ * halving the random-access traffic, and zeroes each entry so the buffer
+ * is reset for the next query without a 4 MB memset.
  *
  * Scoring formula parity: idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)),
  * bm25_index_search.go:299-327. Ties order by (score desc, doc id asc).
@@ -50,10 +52,13 @@ void bm25_score_topk(
     int q_n, int k,
     float *scores_buf,            /* [n_docs] scratch, caller-zeroed once */
     entry *heap,                  /* [k] scratch */
+    int32_t *cand,                /* [n_docs] scratch candidate list */
     int32_t *out_ids, float *out_scores) {
     const float k1p1 = k1 + 1.0f;
     for (int q = 0; q < q_n; ++q) {
-        /* accumulate */
+        /* accumulate; record each doc on first touch (contributions are
+         * strictly positive, so buffer==0 <=> unseen this query) */
+        int64_t cn = 0;
         for (int64_t t = qoff[q]; t < qoff[q + 1]; ++t) {
             const int32_t *d = docs + starts[t];
             const float *f = tfs + starts[t];
@@ -67,36 +72,33 @@ void bm25_score_topk(
                 if (doc < 0 || doc >= n_docs) continue;
                 const float tf = f[i];
                 const float norm = tf + k1 * (1.0f - b + b * doc_len[doc] / avgdl);
-                scores_buf[doc] += idf * tf * k1p1 / norm;
+                const float s = scores_buf[doc];
+                if (s == 0.0f) cand[cn++] = doc;
+                scores_buf[doc] = s + idf * tf * k1p1 / norm;
             }
         }
-        /* collect (zero-on-first-visit dedups and resets the buffer) */
+        /* collect: one walk over the unique candidates, zeroing as we go */
         int hn = 0;
-        for (int64_t t = qoff[q]; t < qoff[q + 1]; ++t) {
-            const int32_t *d = docs + starts[t];
-            const int64_t len = lens[t];
-            for (int64_t i = 0; i < len; ++i) {
-                const int32_t doc = d[i];
-                if (doc < 0 || doc >= n_docs) continue;
-                const float s = scores_buf[doc];
-                if (s == 0.0f) continue;  /* already taken or zero-scored */
-                scores_buf[doc] = 0.0f;
-                if (!((allowed[doc >> 6] >> (doc & 63)) & 1)) continue;
-                entry e = {s, doc};
-                if (hn < k) {
-                    /* sift-up insert */
-                    int i2 = hn++;
-                    heap[i2] = e;
-                    while (i2 > 0) {
-                        int p = (i2 - 1) >> 1;
-                        if (!worse(heap[i2], heap[p])) break;
-                        entry tmp = heap[p]; heap[p] = heap[i2]; heap[i2] = tmp;
-                        i2 = p;
-                    }
-                } else if (worse(heap[0], e)) {
-                    heap[0] = e;
-                    heap_sift_down(heap, hn, 0);
+        for (int64_t i = 0; i < cn; ++i) {
+            const int32_t doc = cand[i];
+            const float s = scores_buf[doc];
+            scores_buf[doc] = 0.0f;
+            if (s == 0.0f) continue;
+            if (!((allowed[doc >> 6] >> (doc & 63)) & 1)) continue;
+            entry e = {s, doc};
+            if (hn < k) {
+                /* sift-up insert */
+                int i2 = hn++;
+                heap[i2] = e;
+                while (i2 > 0) {
+                    int p = (i2 - 1) >> 1;
+                    if (!worse(heap[i2], heap[p])) break;
+                    entry tmp = heap[p]; heap[p] = heap[i2]; heap[i2] = tmp;
+                    i2 = p;
                 }
+            } else if (worse(heap[0], e)) {
+                heap[0] = e;
+                heap_sift_down(heap, hn, 0);
             }
         }
         /* emit sorted best-first by repeated root extraction */
