@@ -50,16 +50,6 @@ DEFAULT_TILE = 1 << 17
 QUERY_CHUNK = 256
 
 
-@partial(jax.jit, static_argnames=("rows",))
-def _pad_rows_dev(q: jax.Array, rows: int) -> jax.Array:
-    """Grow a query batch to `rows` on DEVICE: the tunnel uploads only the
-    real rows (a single query host-padded to the kernel's 256-row tile
-    costs ~3 ms of upload; 512 B does not)."""
-    out = jnp.zeros((rows, q.shape[1]), q.dtype)
-    return lax.dynamic_update_slice(out, q, (0, 0))
-
-
-@partial(jax.jit, static_argnames=("cosine",))
 def _mask_from_words(words32, ids, valid, sqnorms, cosine):
     """Additive +inf kernel mask with the doc-ID filter expanded in-kernel
     from PACKED 32-bit words (bit i of word w = doc 32w+i) — a dense
@@ -72,6 +62,38 @@ def _mask_from_words(words32, ids, valid, sqnorms, cosine):
     fbit = (w >> (ids & jnp.uint32(31))) & jnp.uint32(1)
     ok = valid & in_range & (fbit == 1)
     return jnp.where(ok, 0.0 if cosine else sqnorms, jnp.inf)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("rows", "q_out", "k_pad", "cosine", "sqrt_out", "filtered"),
+)
+def _flat_fused_dispatch(
+    q, corpus_t, mask_or_base, thr, words32, ids, valid,
+    rows, q_out, k_pad, cosine, sqrt_out, filtered,
+):
+    """The whole flat search as ONE device dispatch: pad the uploaded
+    query rows to the kernel tile, expand the packed doc-ID filter into
+    the additive mask (when `filtered`), run the Pallas pipeline, and
+    slice the output to [q_out, k_pad] — every eager step here used to be
+    its own ~1 ms tunnel enqueue, which dominates single-query latency
+    (tunnel floor ~25 ms, eager path measured ~32 ms). q_out is the
+    next-pow2 of the real query count, so compile variants stay bounded.
+    """
+    from comet_tpu.ops.pallas_scan import flat_topk_pipeline
+
+    if filtered:
+        mask_vec = _mask_from_words(words32, ids, valid, mask_or_base, cosine)
+    else:
+        mask_vec = mask_or_base
+    if rows != q.shape[0]:
+        q = lax.dynamic_update_slice(
+            jnp.zeros((rows, q.shape[1]), q.dtype), q, (0, 0)
+        )
+    s, i = flat_topk_pipeline(
+        q, corpus_t, mask_vec, thr, k_pad, cosine=cosine, sqrt_out=sqrt_out
+    )
+    return s[:q_out], i[:q_out]
 
 
 class FlatIndex(BaseVectorIndex):
@@ -314,21 +336,22 @@ class FlatIndex(BaseVectorIndex):
                 # packed-words filter expansion on device (single-query
                 # latency: uploads words/8 bytes instead of a dense mask)
                 nw64 = self._filter_word_span(doc_filter)
-                words32 = doc_filter.word_mask(nw64).view(np.uint32)
-                mask_vec = _mask_from_words(
-                    jnp.asarray(words32), self._device_ids(), valid,
-                    sqnorms, cosine,
+                words32 = jnp.asarray(doc_filter.word_mask(nw64).view(np.uint32))
+                mask_or_base, ids_dev, valid_dev = (
+                    sqnorms, self._device_ids(), valid,
                 )
             else:
-                mask_vec = self._mask_vec(valid, sqnorms, cosine, None)
-            qdev = jnp.asarray(qpad)
-            if qpad.shape[0] % P_TQ != 0:
-                qdev = _pad_rows_dev(qdev, -(-qpad.shape[0] // P_TQ) * P_TQ)
+                words32 = ids_dev = valid_dev = None
+                mask_or_base = self._mask_vec(valid, sqnorms, cosine, None)
+            rows = -(-qpad.shape[0] // P_TQ) * P_TQ
             corpus_t = self._device_corpus_t(vecs)
-            s, i = flat_topk_pipeline(
-                qdev, corpus_t, mask_vec, thr_k, k_pad,
+            s, i = _flat_fused_dispatch(
+                jnp.asarray(qpad), corpus_t, mask_or_base, thr_k,
+                words32, ids_dev, valid_dev,
+                rows=rows, q_out=qpad.shape[0], k_pad=k_pad,
                 cosine=cosine,
                 sqrt_out=self._distance_kind == DistanceKind.L2,
+                filtered=doc_filter.enabled,
             )
             # slice to the REQUESTED width on device: the tunnel download
             # is the serving bottleneck (~20-45 MB/s), so the k_pad-k_eff
