@@ -225,8 +225,12 @@ def bench_all(corpus, queries, truth_ids, truth100=None):
     report("pq_m16", qps, ids)
     del idx
 
-    # IVFPQ nlist=1024 m=16 (baseline: 312 QPS / 89.7%@100 at nprobe=10)
-    idx = IVFPQIndex(DIM, DistanceKind.L2, nlist=1024, m=16, nbits=8)
+    # IVFPQ nlist=1024 m=16 (baseline: 312 QPS / 89.7%@100 at nprobe=10);
+    # store_originals enables with_nrefine — the exact re-rank the
+    # reference documents but never implemented (README.md:1779)
+    idx = IVFPQIndex(
+        DIM, DistanceKind.L2, nlist=1024, m=16, nbits=8, store_originals=True
+    )
     t0 = time.perf_counter()
     idx.train(corpus[:100_000])
     t_train = time.perf_counter() - t0
@@ -237,6 +241,10 @@ def bench_all(corpus, queries, truth_ids, truth100=None):
     for nprobe in (8, 10, 32):
         qps, ids = time_search(idx, queries, K, nprobes=nprobe)
         report(f"ivfpq_nprobe{nprobe}", qps, ids)
+    # ADC recall is quantizer-bound on descriptor data; nrefine recovers
+    # exactness within the probed lists at PQ memory traffic
+    qps, ids = time_search(idx, queries, K, nprobes=10, nrefine=1000)
+    report("ivfpq_nprobe10_nrefine1000", qps, ids)
     del idx
 
     # HNSW M=16 (baseline: build 5000s=200vec/s on 1M; ef50 2380QPS/93.4%@100).

@@ -293,6 +293,7 @@ class BaseVectorIndex:
         document_ids: Iterable[int] | None = None,
         nprobes: int | None = None,
         ef_search: int | None = None,
+        nrefine: int | None = None,
         aggregation=None,
         cutoff: int = -1,
         group_size: int = 1,
@@ -316,7 +317,7 @@ class BaseVectorIndex:
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         self._check_dim(queries)
         builder = self._make_batch_builder(
-            k, threshold, document_ids, nprobes, ef_search
+            k, threshold, document_ids, nprobes, ef_search, nrefine
         )
         with self._lock:
             ids, scores = self._search_batch(queries, builder)
@@ -337,6 +338,7 @@ class BaseVectorIndex:
         document_ids: Iterable[int] | None = None,
         nprobes: int | None = None,
         ef_search: int | None = None,
+        nrefine: int | None = None,
         depth: int = 2,
         aggregation=None,
         cutoff: int = -1,
@@ -354,7 +356,7 @@ class BaseVectorIndex:
         from collections import deque
 
         builder = self._make_batch_builder(
-            k, threshold, document_ids, nprobes, ef_search
+            k, threshold, document_ids, nprobes, ef_search, nrefine
         )
         pending: deque = deque()
 
@@ -379,7 +381,7 @@ class BaseVectorIndex:
             yield collect()
 
     def _make_batch_builder(
-        self, k, threshold, document_ids, nprobes, ef_search
+        self, k, threshold, document_ids, nprobes, ef_search, nrefine=None
     ) -> "VectorSearchBuilder":
         from comet_tpu.ops.bitset import Bitset
 
@@ -392,6 +394,7 @@ class BaseVectorIndex:
             builder._document_ids = [int(i) for i in document_ids]
         builder._nprobes = nprobes
         builder._ef_search = ef_search
+        builder._nrefine = nrefine
         return builder
 
     def _search_launch(self, queries: np.ndarray, builder: "VectorSearchBuilder"):
