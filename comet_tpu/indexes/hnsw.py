@@ -115,7 +115,10 @@ class HNSWConfig:
     probe (ops/ivf_sparse, bf16 domain) instead of a single entry point,
     and terminates on the k-window bound instead of the ef bound — the
     graph only repairs cell-boundary misses, cutting expansion iterations
-    ~4x at equal recall. seed_nprobe=0 derives nlist/128 (min 2)."""
+    ~4x at equal recall. seed_nprobe=0 derives nlist/64 (min 2).
+    seed_stop sets the seeded k-window width (0 = max(2*k_pad, 64), capped
+    at ef_pad): widening it trades iterations for recall headroom when k
+    is close to the window."""
 
     m: int = 16
     ef_construction: int = 200
@@ -123,6 +126,7 @@ class HNSWConfig:
     search_iters: int = 0
     seed_search: bool = True
     seed_nprobe: int = 0
+    seed_stop: int = 0
 
 
 class HNSWIndex(BaseVectorIndex):
@@ -1044,7 +1048,9 @@ class HNSWIndex(BaseVectorIndex):
         from comet_tpu.ops import ivf_sparse as sp
 
         st = self._ensure_seed()
-        nprobe = self._cfg.seed_nprobe or max(2, st["nlist"] // 128)
+        # nlist/64 probes (16 at 1M): doubling from nlist/128 bought +1.5pt
+        # recall@100 for ~3% QPS at the 1M sweep's operating points
+        nprobe = self._cfg.seed_nprobe or max(2, st["nlist"] // 64)
         nprobe = min(nprobe, st["nlist"] - 1)
         S, UC, MC = sp.default_budgets(
             nprobe, st["nlist"], st["nch_total"], st["max_chunks"]
@@ -1082,8 +1088,11 @@ class HNSWIndex(BaseVectorIndex):
         if seeded:
             # seeds fill the beam with true near-neighbors, so the classic
             # ef-bound would expand ALL of them; the k-window bound stops
-            # once expansion cannot change the returned top-k
-            stop = min(max(k_pad, 64), ef_pad)
+            # once expansion cannot change the returned top-k. The window
+            # defaults to 2*k_pad: at 1M a k-sized window capped recall@100
+            # at 0.93 while 2*k reaches 0.96 at ~25% fewer QPS (sweep in
+            # benchmarks/hnsw_1m_r4.log) — seed_stop overrides either way.
+            stop = min(self._cfg.seed_stop or max(2 * k_pad, 64), ef_pad)
             max_iters = self._cfg.search_iters or max(
                 (2 * stop) // PALLAS_EXPAND // 2, 12
             )
