@@ -227,6 +227,7 @@ class IVFIndex(BaseVectorIndex):
         self._last_overflow = None   # [G] device array from the last batch
         self._sparse_overflow_batches = 0  # batches that needed a rescan
         self._sparse_overflow_chunks = 0   # total chunks initially dropped
+        self._sparse_S_hint: dict = {}     # (nprobe, k_pad) -> learned S
 
     # -- contracts -----------------------------------------------------------
 
@@ -396,6 +397,7 @@ class IVFIndex(BaseVectorIndex):
                 return rows_t, mask
 
             corpus_t, mask_vec = build(perm, vecs, sqnorms)
+            self._sparse_S_hint.clear()  # budgets learned on the old layout
             self._sparse = {
                 "corpus_t": corpus_t,
                 "mask_vec": mask_vec,
@@ -417,8 +419,11 @@ class IVFIndex(BaseVectorIndex):
         probe-diverse batch can want more chunks than S (or more distinct
         clusters than UC). The returned handle carries the per-group
         overflow counts — `_search_collect` checks them on the same sync
-        that fetches results, and retries once with an escalated budget so
-        the scan never silently serves fewer probes than requested."""
+        that fetches results and rescans with escalated budgets until the
+        scan covers every requested probe. Each escalation also updates
+        `_sparse_S_hint[(nprobe, k_pad)]` so subsequent batches of the same
+        shape start right-sized (serving traffic repeats shapes; without
+        the hint every batch would pay the double scan)."""
         import jax
 
         from comet_tpu.ops import ivf_sparse as sp
@@ -442,10 +447,12 @@ class IVFIndex(BaseVectorIndex):
         S, UC, MC = sp.default_budgets(
             nprobe, self._nlist, st["nch_total"], st["max_chunks"]
         )
+        S = max(S, self._sparse_S_hint.get((nprobe, k_pad), 0))
         S_max = 1 << max(int(st["nch_total"] - 1).bit_length(), 5)
         if S_override is not None:
-            S = min(max(S_override, S), S_max)
-            UC = min(S, self._nlist)
+            S = max(S_override, S)
+        S = min(S, S_max)
+        UC = min(S, self._nlist)
         s, i, overflow = sp.ivf_sparse_pipeline(
             jnp.asarray(qpad), st["corpus_t"], mask_vec, st["row_slot"],
             thr_k, jnp.asarray(self._centroids), self._order_key,
@@ -461,14 +468,14 @@ class IVFIndex(BaseVectorIndex):
             overflow.copy_to_host_async()
         except AttributeError:  # pragma: no cover
             pass
+        # overflow counts chunks dropped beyond the EFFECTIVE budget (the
+        # pipeline bumps S up to kb*sel_group/chunk internally) — the retry
+        # escalation must start from that effective value
+        kb = max(1 << max(k_pad - 1, 1).bit_length(), 8)
+        S_eff = max(S, -(-kb * sp.SEL_GROUP // sp.CHUNK))
         retry = None
-        if S < S_max and S_override is None:
-            # overflow counts chunks dropped beyond the EFFECTIVE budget
-            # (the pipeline bumps S up to kb*sel_group/chunk internally) —
-            # the retry escalation must start from that effective value
-            kb = max(1 << max(k_pad - 1, 1).bit_length(), 8)
-            S_eff = max(S, -(-kb * sp.SEL_GROUP // sp.CHUNK))
-            retry = (qpad, q_real, k_pad, k_eff, nprobe, builder, S_eff)
+        if S_eff < S_max:
+            retry = (qpad, q_real, k_pad, k_eff, nprobe, builder, S_eff, S_max)
         return ("sparse", s, i, q_real, k_eff, self._store.ids, overflow, retry)
 
     def _device_dense(self):
@@ -535,11 +542,6 @@ class IVFIndex(BaseVectorIndex):
             and self._nlist >= 8
             and nprobe < self._nlist
         )
-        if use_sparse:
-            return self._launch_sparse(
-                qpad, q_real, k_pad, k_eff, nprobe, builder
-            )
-
         use_dense = (
             pallas_available()
             and store.capacity % P_TN == 0
@@ -547,6 +549,19 @@ class IVFIndex(BaseVectorIndex):
             and max(k_pad, 8) <= store.capacity // P_GROUP
             and min(npad, self._nlist) <= 32
         )
+        if use_sparse and use_dense and self._sparse is not None:
+            # DEGENERATE-SHAPE fallback: when probe-diverse batches have
+            # already escalated the learned step budget toward the whole
+            # table, each 128-query group walks most chunks anyway and the
+            # sparse scan's gather layout only adds overhead over the dense
+            # masked pipeline — route to dense while it remains available.
+            hint = self._sparse_S_hint.get((nprobe, k_pad), 0)
+            if 2 * hint >= self._sparse["nch_total"]:
+                use_sparse = False
+        if use_sparse:
+            return self._launch_sparse(
+                qpad, q_real, k_pad, k_eff, nprobe, builder
+            )
         if use_dense:
             cosine = self._distance_kind == DistanceKind.COSINE
             thr_k = thr * thr if self._distance_kind == DistanceKind.L2 else thr
@@ -597,32 +612,34 @@ class IVFIndex(BaseVectorIndex):
             if dropped > 0:
                 self._sparse_overflow_batches += 1
                 self._sparse_overflow_chunks += dropped
-                if retry is not None:
-                    # escalate the step budget past the worst group's want
-                    # and rescan once — exactness beats the saved DMA steps
-                    qpad, q_real, k_pad, k_eff, nprobe, builder, S_old = retry
-                    S_new = 1 << int(S_old + int(ov.max()) - 1).bit_length()
-                    logger.warning(
-                        "ivf sparse scan overflow: %d chunk(s) dropped "
-                        "across %d group(s); rescanning with S=%d (was %d)",
-                        dropped, int((ov > 0).sum()), S_new, S_old,
-                    )
-                    h2 = self._launch_sparse(
-                        qpad, q_real, k_pad, k_eff, nprobe, builder,
-                        S_override=S_new,
-                    )
-                    _, s, i, q_real, k_eff, ids, overflow, _ = h2
-                    ov2 = np.asarray(jax.device_get(overflow))
-                    if int(ov2.sum()) > 0:  # pragma: no cover - S_max capped
-                        logger.warning(
-                            "ivf sparse rescan still overflowed by %d "
-                            "chunk(s) at the budget cap", int(ov2.sum()),
-                        )
-                else:  # pragma: no cover - budget already at table size
+            # escalate the step budget past the worst group's want and
+            # rescan until clean or capped at the table size — exactness
+            # beats the saved DMA steps; the S hint makes this a
+            # first-batch-only cost per (nprobe, k) shape
+            while dropped > 0 and retry is not None:
+                qpad, q_real, k_pad, k_eff, nprobe, builder, S_old, S_max = retry
+                S_new = min(
+                    1 << int(S_old + int(ov.max()) - 1).bit_length(), S_max
+                )
+                if S_new <= S_old:  # pragma: no cover - cap reached
                     logger.warning(
                         "ivf sparse scan overflow at max budget: %d chunk(s)",
                         dropped,
                     )
+                    break
+                logger.warning(
+                    "ivf sparse scan overflow: %d chunk(s) dropped across "
+                    "%d group(s); rescanning with S=%d (was %d)",
+                    dropped, int((ov > 0).sum()), S_new, S_old,
+                )
+                self._sparse_S_hint[(nprobe, k_pad)] = S_new
+                h2 = self._launch_sparse(
+                    qpad, q_real, k_pad, k_eff, nprobe, builder,
+                    S_override=S_new,
+                )
+                _, s, i, q_real, k_eff, ids, overflow, retry = h2
+                ov = np.asarray(jax.device_get(overflow))
+                dropped = int(ov.sum())
             handle = ("dev", s, i, q_real, k_eff, ids)
         return collect_device_handle(handle)
 

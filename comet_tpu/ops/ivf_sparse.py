@@ -33,9 +33,14 @@ by scan order, not slot order; (b) each group's chunk walk is budgeted at S
 steps and its distinct-cluster list at UC — chunk lists are ordered by best
 probe rank, so truncation drops the worst-ranked probes' chunks only. The
 per-group overflow count returned by the pipeline counts EVERY dropped
-chunk (both S- and UC-truncation); indexes/ivf.py rescans the batch once
-with an escalated budget whenever it is nonzero, so served results always
-cover the requested nprobe. S defaults to ~4x the expected need.
+chunk (both S- and UC-truncation); indexes/ivf.py rescans with escalated
+budgets until it is zero (or the budget reaches the table size), so served
+results always cover the requested nprobe, and remembers the escalated
+budget per (nprobe, k) so repeat traffic starts right-sized. When the
+learned budget approaches the table size (probe-diverse batches — each
+128-lane group wants most chunks), the index routes back to the dense
+masked pipeline instead, where available. S defaults to ~4x the expected
+need under probe overlap.
 """
 
 from __future__ import annotations

@@ -238,11 +238,13 @@ def test_sparse_overflow_triggers_escalated_rescan(rng):
                 jnp.zeros(1, jnp.int32), None)
 
     idx._launch_sparse = fake_launch
-    retry = (np.zeros((128, 8), np.float32), q_real, 2, k_eff, 2, None, 8)
+    retry = (np.zeros((128, 8), np.float32), q_real, 2, k_eff, 2, None, 8, 64)
     handle = ("sparse", s1, i1, q_real, k_eff, idx._store.ids, overflow, retry)
     ids, scores = idx._search_collect(handle)
     # escalated S >= S_eff + max overflow, rounded to pow2
     assert calls and calls[0] >= 8 + 3
+    # the learned budget is remembered for the next same-shape batch
+    assert idx._sparse_S_hint.get((2, 2)) == calls[0]
     # the rescan's (corrected) results are what got served
     np.testing.assert_allclose(scores[0], [1.0, 2.0])
     st = idx.stats()
