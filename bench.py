@@ -242,9 +242,15 @@ def bench_all(corpus, queries, truth_ids, truth100=None):
         qps, ids = time_search(idx, queries, K, nprobes=nprobe)
         report(f"ivfpq_nprobe{nprobe}", qps, ids)
     # ADC recall is quantizer-bound on descriptor data; nrefine recovers
-    # exactness within the probed lists at PQ memory traffic
-    qps, ids = time_search(idx, queries, K, nprobes=10, nrefine=1000)
-    report("ivfpq_nprobe10_nrefine1000", qps, ids)
+    # exactness within the ADC shortlist at PQ memory traffic. Dense path
+    # only: nrefine widens k_pad, and the sparse kernel's bitonic networks
+    # at kb>=1024 trace/compile for tens of minutes (known shape cliff).
+    os.environ["COMET_IVF_SPARSE"] = "0"
+    try:
+        qps, ids = time_search(idx, queries, K, nprobes=10, nrefine=256)
+        report("ivfpq_nprobe10_nrefine256", qps, ids)
+    finally:
+        os.environ.pop("COMET_IVF_SPARSE", None)
     del idx
 
     # HNSW M=16 (baseline: build 5000s=200vec/s on 1M; ef50 2380QPS/93.4%@100).
