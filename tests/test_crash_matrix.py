@@ -23,6 +23,11 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _PRELUDE = """
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"
+# env alone cannot override the axon sitecustomize's pre-registered TPU
+# plugin (and a dead tunnel then wedges backend init forever) — the config
+# update BEFORE any backend touch is the reliable switch (see conftest.py)
+import jax
+jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, {repo!r})
 import numpy as np
 from comet_tpu.indexes.bm25 import BM25SearchIndex
