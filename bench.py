@@ -402,6 +402,21 @@ def bench_all(corpus, queries, truth_ids, truth100=None):
         f"{1000 * nq / lat.sum():.0f} QPS sequential"
     )
     results["hybrid_p95_ms"] = (float(lat[int(nq * 0.95)]), None)
+    # hybrid batch: the TPU-native serving shape (one fused dispatch chain
+    # for 256 queries; amortizes the tunnel round-trip the sequential loop
+    # above pays per query)
+    qs_v = queries[:256]
+    texts_b = [f"w{i % 50} w{(i * 13) % 500}" for i in range(256)]
+    fkw = dict(
+        k=10, metadata_filters=[eq("cat", "a")],
+        fusion_kind=FusionKind.RECIPROCAL_RANK,
+    )
+    hybrid.search_batch(qs_v, texts_b, **fkw)  # warmup/compile
+    t0 = time.perf_counter()
+    hybrid.search_batch(qs_v, texts_b, **fkw)
+    dt = time.perf_counter() - t0
+    log(f"hybrid batch x256: {1e3 * dt / 256:.2f} ms/query ({256 / dt:.0f} QPS)")
+    results["hybrid_batch_ms"] = (1e3 * dt / 256, None)
     del hybrid
 
     # Metadata at the reference's scale: 10M docs x 4 fields (baseline:

@@ -99,6 +99,17 @@ def _use_pallas_beam() -> bool:
     return pallas_available()
 
 
+def _use_packed_table() -> bool:
+    """COMET_HNSW_PACKED=1 selects the single-gather PACKED routing table
+    (ops/beam_kernel.build_packed_table): halves the per-iteration gather
+    row count for identical results. Off by default until the end-to-end
+    A/B on the real chip confirms it (isolated gather ablations have
+    inverted in context before — see CLAUDE.md)."""
+    import os
+
+    return os.environ.get("COMET_HNSW_PACKED", "0") == "1"
+
+
 @dataclass
 class HNSWConfig:
     """Graph parameters (DefaultHNSWConfig = (16, 200, 200),
@@ -255,11 +266,25 @@ class HNSWIndex(BaseVectorIndex):
             self._dev_nbr_vecs = None
             self._dev_aux = None
             if _use_pallas_beam() and self._blocked_fits():
-                from comet_tpu.ops.beam_kernel import build_blocked_tables
+                self._build_routing_tables()
 
-                self._dev_nbr_vecs, self._dev_aux = build_blocked_tables(
-                    self._dev_adj0, self._dev_vectors, self._dev_sqnorms
-                )
+    def _build_routing_tables(self) -> None:
+        """(Re)build the beam's routing tables from the device mirrors —
+        packed single-gather layout or the classic blocked pair (aux=None
+        marks packed; _gather_score dispatches on it)."""
+        if _use_packed_table():
+            from comet_tpu.ops.beam_kernel import build_packed_table
+
+            self._dev_nbr_vecs = build_packed_table(
+                self._dev_adj0, self._dev_vectors, self._dev_sqnorms
+            )
+            self._dev_aux = None
+        else:
+            from comet_tpu.ops.beam_kernel import build_blocked_tables
+
+            self._dev_nbr_vecs, self._dev_aux = build_blocked_tables(
+                self._dev_adj0, self._dev_vectors, self._dev_sqnorms
+            )
 
     def _sync_valid(self) -> None:
         if self._dev_valid_version != self._store.version:
@@ -292,13 +317,21 @@ class HNSWIndex(BaseVectorIndex):
             adj_values,
         )
         if self._dev_nbr_vecs is not None:
-            from comet_tpu.ops.beam_kernel import update_blocked_rows
+            if self._dev_aux is None:  # packed single-gather layout
+                from comet_tpu.ops.beam_kernel import update_packed_rows
 
-            self._dev_nbr_vecs, self._dev_aux = update_blocked_rows(
-                self._dev_nbr_vecs, self._dev_aux,
-                adj_rows_dev, adj_values,
-                self._dev_vectors, self._dev_sqnorms,
-            )
+                self._dev_nbr_vecs = update_packed_rows(
+                    self._dev_nbr_vecs, adj_rows_dev, adj_values,
+                    self._dev_vectors, self._dev_sqnorms,
+                )
+            else:
+                from comet_tpu.ops.beam_kernel import update_blocked_rows
+
+                self._dev_nbr_vecs, self._dev_aux = update_blocked_rows(
+                    self._dev_nbr_vecs, self._dev_aux,
+                    adj_rows_dev, adj_values,
+                    self._dev_vectors, self._dev_sqnorms,
+                )
 
     # -- host-side distance helpers -----------------------------------------
 
@@ -455,11 +488,7 @@ class HNSWIndex(BaseVectorIndex):
             self._dev_nbr_vecs = None
             self._dev_aux = None
             if _use_pallas_beam() and self._blocked_fits():
-                from comet_tpu.ops.beam_kernel import build_blocked_tables
-
-                self._dev_nbr_vecs, self._dev_aux = build_blocked_tables(
-                    self._dev_adj0, self._dev_vectors, self._dev_sqnorms
-                )
+                self._build_routing_tables()
         else:
             self._dev_cap = 0  # force re-upload on next search
         if _timing:

@@ -550,9 +550,20 @@ def _aux_planes(adj_rows, nsq, cap: int):
     return jnp.concatenate(planes, axis=1)
 
 
-def _gather_score(qb, qn, nbr_vecs, aux, nodes, ew):
-    """Expand `nodes` [E, Q]: TWO row-count-bound gathers (blocked bf16
-    neighbor vectors + the aux row) and a GROUPED distance matmul.
+def _table_width(nbr_vecs, d: int) -> int:
+    """Neighborhood width W of either routing-table layout: blocked
+    [cap, W, d] (aux separate) or PACKED [cap, W*(d + 1 + ndig)] (vectors
+    and aux planes concatenated per row, see build_packed_table)."""
+    if nbr_vecs.ndim == 3:
+        return nbr_vecs.shape[1]
+    cap, row_len = nbr_vecs.shape
+    return row_len // (d + 1 + _aux_digits(cap))
+
+
+def _score_rows(qb, qn, nv, ar, node_ok, W, ndig, ew):
+    """Common scoring tail over gathered rows: decode the aux digit planes,
+    run the GROUPED distance matmul, and mask. nv [Q, E, W, d] bf16,
+    ar [Q, E, (1+ndig)W] f32.
 
     A per-query [1, d] x [d, W] matvec wastes 127/128 of the MXU's
     systolic array, and profiling showed that einsum was the iteration's
@@ -561,17 +572,10 @@ def _gather_score(qb, qn, nbr_vecs, aux, nodes, ew):
     cross-query distance blocks are discarded by a diagonal extract —
     G^2*E*W MXU flops for G*E*W useful distances, 44% faster end-to-end
     (scripts/profile_gatherext.py). Returns (nd, ns, ok) as [ew, Q]."""
-    E, Q = nodes.shape
-    cap, W, d = nbr_vecs.shape
-    ndig = aux.shape[1] // W - 1
+    Q, E, _, d = nv.shape
     g = GROUP
     assert Q % g == 0, (Q, g)
     ng = Q // g
-    nodes_t = nodes.T                                    # [Q, E]
-    node_ok = nodes_t >= 0
-    nc = jnp.maximum(nodes_t, 0)
-    nv = nbr_vecs[nc]                                    # [Q, E, W, d]
-    ar = aux[nc].astype(jnp.float32)                     # [Q, E, (1+ndig)W]
     nsq = ar[..., :W].reshape(Q, ew)
     a1 = ar[..., W:2 * W]
     for i in range(1, ndig):
@@ -592,6 +596,37 @@ def _gather_score(qb, qn, nbr_vecs, aux, nodes, ew):
     nd = jnp.where(okf, nd, INF).T                       # [ew, Q]
     ns = jnp.where(okf, neigh3.reshape(Q, ew), SENT).T
     return nd, ns, okf.T
+
+
+def _gather_score(qb, qn, nbr_vecs, aux, nodes, ew):
+    """Expand `nodes` [E, Q] into scored neighbor candidates.
+
+    Two layouts (same math, bit-identical outputs — pinned by
+    tests/test_beam_kernel.py):
+    - blocked (aux is an array): TWO row-count-bound gathers — the bf16
+      neighbor-vector block and the aux row.
+    - PACKED (aux is None): ONE gather of the concatenated row. The v5e
+      gather is row-count-bound (~29 ns/row regardless of 128 B-8 KB row
+      size), so folding the aux planes into the vector row halves the
+      per-iteration gather row count."""
+    E, Q = nodes.shape
+    d = qb.shape[1]
+    nodes_t = nodes.T                                    # [Q, E]
+    node_ok = nodes_t >= 0
+    nc = jnp.maximum(nodes_t, 0)
+    if aux is None:
+        cap, row_len = nbr_vecs.shape
+        ndig = _aux_digits(cap)
+        W = row_len // (d + 1 + ndig)
+        rows = nbr_vecs[nc]                              # [Q, E, row_len]
+        nv = rows[..., : W * d].reshape(Q, E, W, d)
+        ar = rows[..., W * d:].astype(jnp.float32)       # [Q, E, (1+ndig)W]
+    else:
+        cap, W, _ = nbr_vecs.shape
+        ndig = aux.shape[1] // W - 1
+        nv = nbr_vecs[nc]                                # [Q, E, W, d]
+        ar = aux[nc].astype(jnp.float32)                 # [Q, E, (1+ndig)W]
+    return _score_rows(qb, qn, nv, ar, node_ok, W, ndig, ew)
 
 
 def _search_init(queries, entry, vectors, sqnorms, allowed, sq_thresh,
@@ -735,8 +770,7 @@ def _beam_search_cpu(queries, entry, nbr_vecs, aux, vectors,
     vectors = jnp.asarray(vectors, jnp.float32)
     sqnorms = jnp.asarray(sqnorms, jnp.float32)
     allowed = jnp.asarray(allowed)
-    cap, W, _ = nbr_vecs.shape
-    ew = expand * W
+    ew = expand * _table_width(nbr_vecs, queries.shape[1])
     kr = _next_pow2(max(2 * k, 64)) if fused else 0
     qn, qb, beam_d, beam_s, beam_e, nodes, res_d, res_s = _search_init(
         queries, entry, vectors, sqnorms, allowed, sq_thresh,
@@ -799,8 +833,7 @@ def _beam_search_jit(
     res_s [Q, k]) ascending with slot tie-break; empty = (inf, SENT).
     """
     Q, d = queries.shape
-    cap, W, _ = nbr_vecs.shape
-    ew = expand * W
+    ew = expand * _table_width(nbr_vecs, d)
     kr = _next_pow2(max(2 * k, 64)) if fused else 0
 
     qn, qb, beam_d, beam_s, beam_e, nodes, res_d, res_s = _search_init(
@@ -887,3 +920,35 @@ def update_blocked_rows(nbr_vecs, aux, rows, adj_rows, vectors, sqnorms):
         _aux_planes(adj_rows, nsq, nbr_vecs.shape[0])
     )
     return nbr_vecs, aux
+
+
+@jax.jit
+def build_packed_table(adj, vectors, sqnorms):
+    """PACKED routing-table layout: one bf16 row per node holding the
+    flattened neighbor-vector block AND the aux planes —
+    [cap, W*d + (1+ndig)*W]. The search gather then fetches a node's
+    entire expansion payload in ONE row (the v5e gather is row-count-bound
+    at ~29 ns/row independent of row size, so two same-index gathers cost
+    twice one). Row length stays a multiple of 128 lanes for d % 128 == 0.
+    Same scored outputs as the blocked pair, bit-for-bit."""
+    nc = jnp.maximum(adj, 0)
+    nv = vectors[nc].astype(jnp.bfloat16)          # [cap, W, d]
+    nsq = jnp.where(adj >= 0, sqnorms[nc], 0.0)
+    aux = _aux_planes(adj, nsq, adj.shape[0])
+    cap, W, d = nv.shape
+    return jnp.concatenate([nv.reshape(cap, W * d), aux], axis=1)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def update_packed_rows(packed, rows, adj_rows, vectors, sqnorms):
+    """Resync packed rows after adjacency updates (donated)."""
+    nc = jnp.maximum(adj_rows, 0)
+    v = vectors[nc]                                # [R, W, d]
+    nsq = jnp.where(adj_rows >= 0, sqnorms[nc], 0.0)
+    aux = _aux_planes(adj_rows, nsq, packed.shape[0])
+    r, W, d = v.shape
+    row = jnp.concatenate(
+        [v.astype(packed.dtype).reshape(r, W * d), aux.astype(packed.dtype)],
+        axis=1,
+    )
+    return packed.at[rows].set(row)

@@ -377,3 +377,75 @@ def test_full_search_seeded_fused_filter(rng):
     order = np.argsort(dist, axis=1, kind="stable")[:, :k]
     np.testing.assert_array_equal(ss, order)
     assert (ss % 2 == 0).all()
+
+
+def test_packed_table_matches_blocked(rng):
+    """The PACKED single-gather routing table must produce bit-identical
+    search results to the blocked (nbr_vecs, aux) pair — same bf16 values,
+    same aux decode, one gather instead of two."""
+    from comet_tpu.ops.beam_kernel import build_packed_table
+
+    n, d, k, W = 200, 16, 10, 8
+    cap = 256  # > 128 so the slot+1 encoding needs 2 base-128 digits
+    vectors = np.zeros((cap, d), np.float32)
+    vectors[:n] = rng.normal(size=(n, d)).astype(np.float32)
+    sqn = (vectors * vectors).sum(axis=1)
+    adj = np.full((cap, W), -1, np.int32)
+    for i in range(n):
+        adj[i, 0] = (i + 1) % n
+        adj[i, 1] = (i - 1) % n
+        adj[i, 2:] = rng.choice(n, size=W - 2, replace=False)
+    queries = rng.normal(size=(LANE, d)).astype(np.float32)
+    entry = np.zeros(LANE, np.int32)
+    allowed = np.zeros(cap, bool)
+    allowed[:n] = True
+
+    import jax.numpy as jnp
+
+    nbr_vecs, aux = build_blocked_tables(
+        jnp.asarray(adj), jnp.asarray(vectors), jnp.asarray(sqn)
+    )
+    packed = build_packed_table(
+        jnp.asarray(adj), jnp.asarray(vectors), jnp.asarray(sqn)
+    )
+    assert packed.shape == (cap, W * d + 3 * W)  # ndig=2 at cap=256
+
+    kw = dict(ef=32, k=k, expand=4, max_iters=64, use_pallas=False)
+    for fused in (False, True):
+        sd_b, ss_b = beam_search_blocked(
+            queries, entry, nbr_vecs, aux, vectors, sqn,
+            allowed, np.float32(np.inf), fused=fused, **kw,
+        )
+        sd_p, ss_p = beam_search_blocked(
+            queries, entry, packed, None, vectors, sqn,
+            allowed, np.float32(np.inf), fused=fused, **kw,
+        )
+        np.testing.assert_array_equal(np.asarray(ss_p), np.asarray(ss_b))
+        np.testing.assert_array_equal(np.asarray(sd_p), np.asarray(sd_b))
+
+
+def test_packed_row_update_matches_rebuild(rng):
+    """update_packed_rows after adjacency edits == a fresh build_packed_table."""
+    from comet_tpu.ops.beam_kernel import build_packed_table, update_packed_rows
+
+    cap, d, W = 128, 8, 8
+    vectors = rng.normal(size=(cap, d)).astype(np.float32)
+    sqn = (vectors * vectors).sum(axis=1)
+    adj = rng.integers(-1, cap, size=(cap, W)).astype(np.int32)
+
+    import jax.numpy as jnp
+
+    packed = build_packed_table(
+        jnp.asarray(adj), jnp.asarray(vectors), jnp.asarray(sqn)
+    )
+    rows = np.array([3, 17, 64, 101], np.int64)
+    adj2 = adj.copy()
+    adj2[rows] = rng.integers(-1, cap, size=(len(rows), W)).astype(np.int32)
+    packed2 = update_packed_rows(
+        packed, jnp.asarray(rows), jnp.asarray(adj2[rows]),
+        jnp.asarray(vectors), jnp.asarray(sqn),
+    )
+    fresh = build_packed_table(
+        jnp.asarray(adj2), jnp.asarray(vectors), jnp.asarray(sqn)
+    )
+    np.testing.assert_array_equal(np.asarray(packed2), np.asarray(fresh))
