@@ -43,7 +43,9 @@ def _neighbor_dists(queries, qn, vectors, sqnorms, neigh, kind):
 
 @partial(
     jax.jit,
-    static_argnames=("ef", "k", "kind", "max_iters", "expand", "fused_results"),
+    static_argnames=(
+        "ef", "k", "kind", "max_iters", "expand", "fused_results", "stop"
+    ),
 )
 def beam_search_layer0(
     queries: jax.Array,      # [Q, d] preprocessed
@@ -59,6 +61,9 @@ def beam_search_layer0(
     max_iters: int,
     expand: int = 1,
     fused_results: bool = True,
+    seed_d: jax.Array | None = None,  # [Q, ef] f32 metric-space distances
+    seed_s: jax.Array | None = None,  # [Q, ef] i32 slots, (INF, SENT) padded
+    stop: int | None = None,
 ):
     """Lockstep ef-beam search. Returns (res_d [Q,k], res_s [Q,k]) sorted
     ascending with (score, slot) tie-break; empty slots are
@@ -75,7 +80,19 @@ def beam_search_layer0(
     the results are simply the best k of the final beam (exact whenever the
     admission mask accepts everything the beam holds, i.e. unfiltered
     searches and graph construction) and the loop runs one sort per
-    iteration instead of two."""
+    iteration instead of two.
+
+    `seed_d`/`seed_s` initialize the beam from an IVF cluster-probe scan
+    (the pure-XLA twin of ops/beam_kernel's seeded start): rows must be
+    sorted (dist, slot) ascending with (INF, IDX_SENTINEL) padding and
+    duplicate-free per row; distances must live in the index's METRIC space
+    (the same domain `_neighbor_dists` produces) since they flow into the
+    returned results. Queries whose seed row is empty fall back to
+    `entry_slots`. `stop` narrows the termination window: a query stays
+    active while its best unexpanded candidate beats the stop-th beam
+    entry (default ef — the classic bound); seeds fill the beam with true
+    near-neighbors, so the classic bound would expand ALL of them while a
+    k-sized window stops once expansion cannot change the returned top-k."""
     Q, d = queries.shape
     cap, W = adj.shape
     qn = jnp.sum(queries * queries, axis=1, keepdims=True)  # [Q,1]
@@ -84,23 +101,68 @@ def beam_search_layer0(
     # entry distances
     e_d = _neighbor_dists(queries, qn, vectors, sqnorms, entry_slots[:, None], kind)[:, 0]
 
-    cand_d = jnp.full((Q, ef), INF, jnp.float32).at[:, 0].set(e_d)
-    cand_s = jnp.full((Q, ef), IDX_SENTINEL, jnp.int32).at[:, 0].set(entry_slots)
-    expanded = jnp.zeros((Q, ef), jnp.bool_)
     # Visited sets as PACKED uint32 bitmasks [Q, cap/32]: the loop-carried
     # state stays tiny so XLA's while-loop buffer churn is cheap. Marking
     # uses scatter-ADD, which is a safe OR here: bits are only added for
     # FRESH (unset) neighbors and adjacency rows are duplicate-free.
     n_words = cap // 32
-    visited = jnp.zeros((Q, n_words), jnp.uint32).at[
-        rows, entry_slots >> 5
-    ].add(jnp.uint32(1) << (entry_slots & 31).astype(jnp.uint32))
 
-    res_d = jnp.full((Q, k), INF, jnp.float32)
-    res_s = jnp.full((Q, k), IDX_SENTINEL, jnp.int32)
-    ok0 = allowed[entry_slots] & (e_d <= threshold)
-    res_d = res_d.at[:, 0].set(jnp.where(ok0, e_d, INF))
-    res_s = res_s.at[:, 0].set(jnp.where(ok0, entry_slots, IDX_SENTINEL))
+    if seed_s is not None:
+        sw = seed_s.shape[1]
+        if sw > ef:  # sorted ascending: slicing keeps the best seeds
+            seed_d, seed_s = seed_d[:, :ef], seed_s[:, :ef]
+        elif sw < ef:
+            seed_d = jnp.concatenate(
+                [seed_d, jnp.full((Q, ef - sw), INF, jnp.float32)], axis=1
+            )
+            seed_s = jnp.concatenate(
+                [seed_s, jnp.full((Q, ef - sw), IDX_SENTINEL, jnp.int32)],
+                axis=1,
+            )
+        seeded_rows = seed_s[:, 0] != IDX_SENTINEL      # [Q]
+        # entry fallback where the probe scan returned nothing
+        cand_d = seed_d.at[:, 0].set(
+            jnp.where(seeded_rows, seed_d[:, 0], e_d)
+        )
+        cand_s = seed_s.at[:, 0].set(
+            jnp.where(seeded_rows, seed_s[:, 0], entry_slots)
+        )
+        live = cand_s != IDX_SENTINEL
+        sc = jnp.maximum(cand_s, 0)
+        visited = jnp.zeros((Q, n_words), jnp.uint32).at[
+            rows[:, None], sc >> 5
+        ].add(
+            jnp.where(
+                live,
+                jnp.uint32(1) << (sc & 31).astype(jnp.uint32),
+                jnp.uint32(0),
+            )
+        )
+        ok0 = live & allowed[sc] & (cand_d <= threshold)
+        rd0 = jnp.where(ok0, cand_d, INF)
+        rs0 = jnp.where(ok0, cand_s, IDX_SENTINEL)
+        sd0, ss0 = lax.sort((rd0, rs0), dimension=1, num_keys=2)
+        res_d, res_s = sd0[:, :k], ss0[:, :k]
+        if k > ef:  # pragma: no cover — callers keep k <= ef
+            pad = jnp.full((Q, k - ef), INF, jnp.float32)
+            res_d = jnp.concatenate([sd0, pad], axis=1)
+            res_s = jnp.concatenate(
+                [ss0, jnp.full((Q, k - ef), IDX_SENTINEL, jnp.int32)], axis=1
+            )
+    else:
+        cand_d = jnp.full((Q, ef), INF, jnp.float32).at[:, 0].set(e_d)
+        cand_s = jnp.full((Q, ef), IDX_SENTINEL, jnp.int32).at[:, 0].set(entry_slots)
+        visited = jnp.zeros((Q, n_words), jnp.uint32).at[
+            rows, entry_slots >> 5
+        ].add(jnp.uint32(1) << (entry_slots & 31).astype(jnp.uint32))
+        res_d = jnp.full((Q, k), INF, jnp.float32)
+        res_s = jnp.full((Q, k), IDX_SENTINEL, jnp.int32)
+        ok0 = allowed[entry_slots] & (e_d <= threshold)
+        res_d = res_d.at[:, 0].set(jnp.where(ok0, e_d, INF))
+        res_s = res_s.at[:, 0].set(jnp.where(ok0, entry_slots, IDX_SENTINEL))
+    expanded = jnp.zeros((Q, ef), jnp.bool_)
+
+    stop_col = ef - 1 if stop is None else min(max(int(stop), 1), ef) - 1
 
     def cond(state):
         i, cand_d, cand_s, expanded, visited, res_d, res_s, alive = state
@@ -110,7 +172,7 @@ def beam_search_layer0(
         i, cand_d, cand_s, expanded, visited, res_d, res_s, _ = state
 
         unexp_d = jnp.where(expanded | (cand_s == IDX_SENTINEL), INF, cand_d)
-        worst = cand_d[:, ef - 1]
+        worst = cand_d[:, stop_col]
         if expand == 1:
             best_pos = jnp.argmin(unexp_d, axis=1)[:, None]   # [Q, 1]
         else:

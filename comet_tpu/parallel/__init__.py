@@ -8,6 +8,7 @@ from comet_tpu.parallel.sharded import (
     ShardedIVFPQSearcher,
     ShardedIVFSearcher,
     ShardedPQSearcher,
+    ShardedSeededHNSWSearcher,
     make_corpus_mesh,
     make_sharded_ivf_search,
     make_sharded_kmeans_step,
@@ -22,6 +23,7 @@ __all__ = [
     "ShardedIVFPQSearcher",
     "ShardedIVFSearcher",
     "ShardedPQSearcher",
+    "ShardedSeededHNSWSearcher",
     "make_corpus_mesh",
     "make_sharded_ivf_search",
     "make_sharded_kmeans_step",

@@ -552,6 +552,217 @@ class ShardedHybridSearcher:
         return fuse_batch_rows(v_ids, v_sc, t_ids, t_sc, candidates, fus, nq, k)
 
 
+def make_sharded_seeded_hnsw_search(
+    mesh: Mesh, ef: int, k: int, kind: DistanceKind, max_iters: int,
+    expand: int, fused: bool, stop: int,
+):
+    """Build the query-sharded SEEDED beam step (stage 2 of
+    `ShardedSeededHNSWSearcher`): graph tables replicate, queries and their
+    per-query seed blocks shard over the mesh, and each device runs the
+    pure-XLA lockstep beam initialized from its queries' seeds with the
+    k-window stop bound (the single-device seeded beam's termination,
+    indexes/hnsw._pallas_launch). No collective: results stay sharded with
+    their queries."""
+    from comet_tpu.ops.graph import beam_search_layer0
+
+    def local(queries, seeds_d, seeds_s, entries, adj, vectors, sqnorms,
+              allowed, threshold):
+        return beam_search_layer0(
+            queries, entries, adj, vectors, sqnorms, allowed, threshold,
+            ef, k, kind, max_iters, expand, fused,
+            seed_d=seeds_d, seed_s=seeds_s, stop=stop,
+        )
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(), P(), P(), P(),
+        ),
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class ShardedSeededHNSWSearcher:
+    """Multi-chip SEEDED-HNSW serving: a two-stage SPMD pipeline.
+
+    Stage 1 (corpus-sharded) — the seed probe scan IS the sharded IVF
+    search: the corpus rows + their ~sqrt(n)-cell k-means assignments shard
+    over the mesh, each device scans its shard masked to the probed cells,
+    and one [Q, stop] `all_gather` merges seed candidates over ICI
+    (`make_sharded_ivf_search`, exactly the single-device seeded beam's
+    cluster-probe start, indexes/hnsw._seed_scan).
+
+    Stage 2 (query-sharded) — the replicated-graph lockstep beam starts
+    from each query's seed row with the k-window stop bound; queries and
+    their seeds reshard from replicated to query-sharded between the
+    stages (the [Q, stop] seed block is tiny — that reshard is the only
+    cross-stage traffic).
+
+    This is the TPU-native layout for both halves: the probe scan's big
+    axis is the corpus (shard it), the graph walk's big axis is the query
+    stream (shard that; graph tables are MBs and replicate). Seed distances
+    ride the index's metric domain (ops/distance), so they merge cleanly
+    with beam rediscovery distances, and results are shard-count-invariant
+    (tests/test_sharded_determinism.py)."""
+
+    def __init__(self, mesh: Mesh, hnsw_index, nlist: int | None = None,
+                 nprobe: int = 0, tile: int = 1 << 13, seed: int = 0,
+                 centroids: np.ndarray | None = None):
+        from comet_tpu.indexes.base import next_pow2
+        from comet_tpu.indexes.hnsw import SEARCH_EXPAND
+        from comet_tpu.ops.kmeans import find_nearest_centroid, kmeans
+
+        self._mesh = mesh
+        self._idx = hnsw_index
+        self._expand = SEARCH_EXPAND
+        store = hnsw_index._store
+        n = store.n
+        rep = NamedSharding(mesh, P())
+        # replicated graph state (same layout as ShardedHNSWSearcher)
+        self._adj = jax.device_put(jnp.asarray(hnsw_index._adj0), rep)
+        self._vectors = jax.device_put(jnp.asarray(store.vectors), rep)
+        self._sqnorms = jnp.sum(self._vectors * self._vectors, axis=1)
+
+        # seed centroids: caller-provided > the index's warm state (single-
+        # device serving trains them lazily) > train here
+        if centroids is not None:
+            cents = np.asarray(centroids, dtype=np.float32)
+        elif getattr(hnsw_index, "_seed_centroids", None) is not None and (
+            nlist is None or len(hnsw_index._seed_centroids) == nlist
+        ):
+            cents = np.asarray(hnsw_index._seed_centroids)
+        else:
+            nl = nlist or max(64, min(4096, next_pow2(max(int(n**0.5), 1))))
+            nl = min(nl, max(n, 1))
+            sample = store.vectors[:n]
+            if n > (1 << 17):
+                sel = np.random.default_rng(seed).choice(
+                    n, 1 << 17, replace=False
+                )
+                sample = sample[np.sort(sel)]
+            cents, _ = kmeans(
+                sample, nl, DistanceKind.L2_SQUARED, 10, return_assign=False
+            )
+            cents = np.asarray(cents)
+        self._nlist = len(cents)
+        self._nprobe_default = int(nprobe) or max(2, self._nlist // 64)
+
+        # per-row cell assignments for the stage-1 probe scan
+        assign_np = np.full(n, -1, np.int32)
+        live = np.flatnonzero(store.valid[:n])
+        ch = 1 << 18
+        for i0 in range(0, len(live), ch):
+            sl = live[i0 : i0 + ch]
+            assign_np[sl] = np.asarray(
+                find_nearest_centroid(store.vectors[sl], cents)
+            )
+
+        # corpus-sharded stage-1 state (rows pad to the mesh, like
+        # ShardedIVFSearcher)
+        n_dev = mesh.devices.size
+        shard = max(-(-n // n_dev), 1)
+        n_pad = shard * n_dev
+        dim = store.vectors.shape[1]
+        pad = np.zeros((n_pad, dim), np.float32)
+        pad[:n] = store.vectors[:n]
+        assign = np.full(n_pad, -1, np.int32)
+        assign[:n] = assign_np
+        valid = np.zeros(n_pad, bool)
+        valid[:n] = store.valid[:n]
+        self.n = n
+        self._tile = min(tile, shard)
+        self._centroids = jnp.asarray(cents)
+        self._scan_corpus, self._scan_assign, self._scan_valid = shard_rows(
+            mesh, pad, assign, valid
+        )
+        self._scan_sqnorms = shard_rows(
+            mesh, (pad * pad).sum(axis=1).astype(np.float32)
+        )
+        self._seed_fns: dict = {}
+        self._beam_fns: dict = {}
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        ef_search: int | None = None,
+        allowed: np.ndarray | None = None,
+        threshold: float = 0.0,
+        nprobe: int | None = None,
+        seed_stop: int = 0,
+    ):
+        """Returns (scores [Q, k], slots [Q, k]); empty = (inf, SENTINEL)."""
+        from comet_tpu.core.limiter import sanitize_k
+        from comet_tpu.indexes.base import (
+            next_pow2,
+            pad_queries,
+            threshold_scalar,
+        )
+        from comet_tpu.ops.distance import preprocess
+
+        idx = self._idx
+        n_dev = self._mesh.devices.size
+        k_eff = sanitize_k(k, idx._store.n)
+        ef = max(idx._effective_ef(ef_search), k_eff)
+        k_pad = min(next_pow2(k_eff), idx._store.capacity)
+        ef_pad = next_pow2(ef, 16)
+        stop = min(seed_stop or max(2 * k_pad, 64), ef_pad)
+        nprobe = int(nprobe) if nprobe else self._nprobe_default
+        nprobe = min(nprobe, self._nlist)
+
+        qprep = preprocess(
+            np.atleast_2d(np.asarray(queries, dtype=np.float32)),
+            idx._distance_kind,
+        )
+        q_real = len(qprep)
+        qpad, _ = pad_queries(qprep)
+        if len(qpad) % n_dev:
+            grown = np.zeros(
+                (-(-len(qpad) // n_dev) * n_dev, qpad.shape[1]), np.float32
+            )
+            grown[: len(qpad)] = qpad
+            qpad = grown
+        qdev = jnp.asarray(qpad)
+
+        # stage 1: corpus-sharded probe scan -> [Q, stop] seed candidates
+        skey = (stop, nprobe)
+        if skey not in self._seed_fns:
+            self._seed_fns[skey] = make_sharded_ivf_search(
+                self._mesh, stop, idx._distance_kind, nprobe, self._tile
+            )
+        seed_d, seed_s = self._seed_fns[skey](
+            qdev, self._scan_corpus, self._scan_sqnorms, self._scan_assign,
+            self._scan_valid, self._centroids,
+            jnp.asarray(np.float32(np.inf)),
+        )
+
+        # stage 2: query-sharded seeded beam over the replicated graph
+        amask = jnp.asarray(idx._store.valid)
+        if allowed is not None:
+            amask = jnp.logical_and(amask, jnp.asarray(allowed))
+        amask = jax.device_put(amask, NamedSharding(self._mesh, P()))
+        fused = (
+            allowed is not None or threshold > 0 or idx._store.deleted > 0
+        )
+        entries = np.full(len(qpad), max(idx._entry_slot, 0), np.int32)
+        bkey = (ef_pad, k_pad, fused, stop)
+        if bkey not in self._beam_fns:
+            self._beam_fns[bkey] = make_sharded_seeded_hnsw_search(
+                self._mesh, ef_pad, k_pad, idx._distance_kind,
+                (2 * stop) // self._expand + 16, self._expand, fused, stop,
+            )
+        s, i = self._beam_fns[bkey](
+            qdev, seed_d, seed_s, jnp.asarray(entries),
+            self._adj, self._vectors, self._sqnorms, amask,
+            threshold_scalar(threshold),
+        )
+        s, i = np.asarray(s), np.asarray(i)
+        return s[:q_real, :k_eff], i[:q_real, :k_eff]
+
+
 def make_sharded_hnsw_search(
     mesh: Mesh, ef: int, k: int, kind: DistanceKind, max_iters: int,
     expand: int, fused: bool,
