@@ -104,10 +104,23 @@ def _use_packed_table() -> bool:
     (ops/beam_kernel.build_packed_table): halves the per-iteration gather
     row count for identical results. Off by default until the end-to-end
     A/B on the real chip confirms it (isolated gather ablations have
-    inverted in context before — see CLAUDE.md)."""
+    inverted in context before — see CLAUDE.md). Implied by
+    COMET_HNSW_FUSE (the fused kernel consumes packed rows)."""
     import os
 
-    return os.environ.get("COMET_HNSW_PACKED", "0") == "1"
+    return (
+        os.environ.get("COMET_HNSW_PACKED", "0") == "1" or _use_fused_beam()
+    )
+
+
+def _use_fused_beam() -> bool:
+    """COMET_HNSW_FUSE=1 runs each search iteration's expand+score+merge
+    as ONE Pallas kernel over the pre-gathered packed rows
+    (ops/beam_kernel.fused_expand_merge) — unfiltered searches only; the
+    split path keeps serving filtered/threshold/deleted-slot searches."""
+    import os
+
+    return os.environ.get("COMET_HNSW_FUSE", "0") == "1"
 
 
 @dataclass
@@ -273,9 +286,9 @@ class HNSWIndex(BaseVectorIndex):
         packed single-gather layout or the classic blocked pair (aux=None
         marks packed; _gather_score dispatches on it)."""
         if _use_packed_table():
-            from comet_tpu.ops.beam_kernel import build_packed_table
+            from comet_tpu.ops.beam_kernel import build_packed_table_chunked
 
-            self._dev_nbr_vecs = build_packed_table(
+            self._dev_nbr_vecs = build_packed_table_chunked(
                 self._dev_adj0, self._dev_vectors, self._dev_sqnorms
             )
             self._dev_aux = None
@@ -1165,6 +1178,7 @@ class HNSWIndex(BaseVectorIndex):
                 fused,
                 seeds=seeds,
                 stop=stop,
+                fuse=_use_fused_beam(),
             )
             # device-side slice to the requested width + async host copy:
             # the tunnel download dominates large-batch serving, so padding

@@ -493,13 +493,197 @@ def _beam_merge_pallas(
     return outs[0], outs[1], outs[2], outs[3], None, None
 
 
+# -- fully fused expand+score+merge kernel ------------------------------------
+#
+# One Pallas kernel per loop iteration consuming the XLA row gather
+# DIRECTLY: grid (Q/LANE, E), each step scores one expanded node's packed
+# row block for 128 queries (MXU, bit-equal to _gather_score's einsum),
+# accumulates (dist, slot) into VMEM scratch, and on the last expand-step
+# runs the whole _merge_body in place. Removes every intermediate HBM
+# round-trip of the split path (the gathered rows are read once, the
+# [ew, Q] candidate arrays never leave VMEM) — the split path's
+# reshape/diagonal/transpose glue between the gather and the merge was
+# ~40% of its iteration wall time.
+
+
+def _kernel_eye(n: int, dtype):
+    """In-kernel identity (no captured consts in Pallas kernels)."""
+    return (
+        lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        == lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    ).astype(dtype)
+
+
+def _t2d(x):
+    """Exact MXU transpose of [A, B] -> [B, A] via an identity dot: every
+    output element is 1.0 * x[b, a] accumulated once, so the result is
+    bit-exact for f32 and bf16 inputs alike."""
+    a = x.shape[0]
+    return lax.dot_general(
+        x, _kernel_eye(a, x.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=x.dtype,
+    )
+
+
+SCORE_GROUP = 8  # queries per MXU scoring dot (matches _score_rows GROUP)
+
+
+def _score_packed_block(row, qb, qn_row, node_row, W, d, ndig):
+    """Score one expand-step's packed rows for a 128-query block.
+
+    row [L, W*d + (1+ndig)*W] bf16, qb [L, d] bf16, qn_row [1, L] f32,
+    node_row [1, L] i32 (the expanded node per query, -1 = none).
+    Returns (nd [W, L] f32, ns [W, L] i32) in the merge kernel's
+    rows-on-sublanes orientation.
+
+    Bit-parity with _score_rows: the inner product contracts d=128 in a
+    single MXU tile on identical bf16 values (the group transpose is an
+    exact identity dot), the same property ops/ivf_sparse.bf16_domain
+    already relies on for seed/rediscovery dedup.
+    """
+    L = row.shape[0]
+    g = SCORE_GROUP
+    ip_groups = []
+    for g0 in range(L // g):
+        seg = row[g0 * g : (g0 + 1) * g, : W * d].reshape(g * W, d)
+        seg_t = lax.dot_general(          # [d, g*W] exact bf16 transpose
+            seg, _kernel_eye(g * W, seg.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=seg.dtype,
+        )
+        ipg = lax.dot_general(            # [g, g*W] f32 (one d-tile on MXU)
+            qb[g0 * g : (g0 + 1) * g, :], seg_t,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # diagonal extract: row i's own candidates live at cols [i*W, i*W+W)
+        ipg2 = ipg.reshape(g * g, W)
+        ip_groups.append(
+            jnp.concatenate(
+                [ipg2[(g + 1) * i : (g + 1) * i + 1] for i in range(g)],
+                axis=0,
+            )
+        )
+    ip = jnp.concatenate(ip_groups, axis=0)            # [L, W] f32
+    ar = row[:, W * d :].astype(jnp.float32)           # [L, (1+ndig)*W]
+    ar_t = _t2d(ar)                                    # [(1+ndig)*W, L]
+    ip_t = _t2d(ip)                                    # [W, L]
+    nsq_t = ar_t[:W]
+    a1_t = ar_t[W : 2 * W]
+    for i in range(1, ndig):
+        a1_t = a1_t + ar_t[(i + 1) * W : (i + 2) * W] * float(128 ** i)
+    neigh_t = a1_t.astype(jnp.int32) - 1               # [W, L]
+    ok = (node_row >= 0) & (neigh_t >= 0)
+    nd = jnp.maximum(qn_row + nsq_t - 2.0 * ip_t, 0.0)
+    nd = jnp.where(ok, nd, INF)
+    ns = jnp.where(ok, neigh_t, SENT)
+    return nd, ns
+
+
+def _fused_expand_kernel(
+    nodes_ref,                 # [1, L] i32
+    rows_ref,                  # [L, 1, row_len] bf16
+    qb_ref,                    # [L, d] bf16
+    qn_ref,                    # [1, L] f32
+    bd_ref, bs_ref, be_ref,    # [ef, L]
+    od_ref, osl_ref, oe_ref, misc_ref,
+    nd_acc, ns_acc,            # scratch [E*W, L]
+    *, ef, W, d, ndig, expand, stop,
+):
+    e = pl.program_id(1)
+    nd, ns = _score_packed_block(
+        rows_ref[:, 0, :], qb_ref[:], qn_ref[:], nodes_ref[:], W, d, ndig
+    )
+    nd_acc[pl.ds(e * W, W), :] = nd
+    ns_acc[pl.ds(e * W, W), :] = ns
+
+    @pl.when(e == expand - 1)
+    def _():
+        od, osl, oe, misc, _, _ = _merge_body(
+            bd_ref[:], bs_ref[:], be_ref[:], nd_acc[:], ns_acc[:],
+            None, None, None,
+            ef=ef, ew=expand * W, expand=expand, fused=False, kr=0,
+            stop=stop,
+        )
+        od_ref[:] = od
+        osl_ref[:] = osl
+        oe_ref[:] = oe
+        misc_ref[:] = misc
+
+
+@partial(
+    jax.jit,
+    static_argnames=("ef", "W", "d", "ndig", "expand", "stop", "interpret"),
+)
+def fused_expand_merge(
+    nodes,    # [E, Q] i32 nodes to expand (-1 = none)
+    rows,     # [Q, E, row_len] bf16 gathered packed rows
+    qb,       # [Q, d] bf16
+    qn,       # [Q] f32
+    beam_d, beam_s, beam_e,   # [ef, Q]
+    *, ef, W, d, ndig, expand, stop=None, interpret=False,
+):
+    """One loop iteration's score+merge as a single Pallas kernel over the
+    pre-gathered packed rows. Unfiltered (fused=False) searches only — the
+    result-admission path needs an `allowed[slot]` gather the kernel cannot
+    issue. Returns (beam_d', beam_s', beam_e', misc)."""
+    q = beam_d.shape[1]
+    grid = (q // LANE, expand)
+
+    def col(rows_, imap):
+        return pl.BlockSpec((rows_, LANE), imap, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        col(1, lambda qi, e: (e, qi)),                        # nodes
+        pl.BlockSpec(
+            (LANE, 1, rows.shape[2]), lambda qi, e: (qi, e, 0),
+            memory_space=pltpu.VMEM,
+        ),                                                    # rows
+        pl.BlockSpec((LANE, d), lambda qi, e: (qi, 0),
+                     memory_space=pltpu.VMEM),                # qb
+        col(1, lambda qi, e: (0, qi)),                        # qn
+        col(ef, lambda qi, e: (0, qi)),                       # beam_d
+        col(ef, lambda qi, e: (0, qi)),                       # beam_s
+        col(ef, lambda qi, e: (0, qi)),                       # beam_e
+    ]
+    out_specs = [
+        col(ef, lambda qi, e: (0, qi)),
+        col(ef, lambda qi, e: (0, qi)),
+        col(ef, lambda qi, e: (0, qi)),
+        col(MISC_ROWS, lambda qi, e: (0, qi)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((ef, q), jnp.float32),
+        jax.ShapeDtypeStruct((ef, q), jnp.int32),
+        jax.ShapeDtypeStruct((ef, q), jnp.int32),
+        jax.ShapeDtypeStruct((MISC_ROWS, q), jnp.int32),
+    ]
+    return pl.pallas_call(
+        partial(
+            _fused_expand_kernel, ef=ef, W=W, d=d, ndig=ndig,
+            expand=expand, stop=stop,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((expand * W, LANE), jnp.float32),
+            pltpu.VMEM((expand * W, LANE), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(nodes, rows, qb, qn.reshape(1, q), beam_d, beam_s, beam_e)
+
+
 # -- full search orchestration -------------------------------------------------
 
 
 def beam_search_blocked(
     queries, entry, nbr_vecs, aux, vectors, sqnorms,
     allowed, sq_thresh, ef, k, expand, max_iters, fused,
-    use_pallas: bool = True, seeds=None, stop=None,
+    use_pallas: bool = True, seeds=None, stop=None, fuse: bool = False,
 ):
     """Blocked-gather lockstep beam search (see _beam_search_jit).
 
@@ -517,6 +701,7 @@ def beam_search_blocked(
             queries, entry, nbr_vecs, aux, vectors, sqnorms,
             allowed, sq_thresh, ef, k, expand, max_iters, fused,
             stop, seed_d, seed_s,
+            fuse and aux is None and not fused,
         )
     return _beam_search_cpu(
         queries, entry, nbr_vecs, aux, vectors, sqnorms,
@@ -803,7 +988,7 @@ def _beam_search_cpu(queries, entry, nbr_vecs, aux, vectors,
 
 @partial(
     jax.jit,
-    static_argnames=("ef", "k", "expand", "fused", "stop"),
+    static_argnames=("ef", "k", "expand", "fused", "stop", "fuse"),
 )
 def _beam_search_jit(
     queries,     # [Q, d] f32 preprocessed, Q % LANE == 0
@@ -823,6 +1008,8 @@ def _beam_search_jit(
     stop: int | None = None,
     seed_d=None,          # [Q, ef] f32 bf16-domain seed distances, or None
     seed_s=None,          # [Q, ef] i32 seed slots (SENT padding), or None
+    fuse: bool = False,   # one fused expand+score+merge kernel per
+                          # iteration (packed table, fused=False only)
 ):
     """Blocked-gather lockstep beam search, one dispatch (TPU).
 
@@ -846,8 +1033,24 @@ def _beam_search_jit(
         i, *_, alive = state
         return (i < max_iters) & alive
 
+    if fuse:
+        assert aux is None and not fused
+        cap, row_len = nbr_vecs.shape
+        ndig = _aux_digits(cap)
+        W = row_len // (d + 1 + ndig)
+
     def body(state):
         i, beam_d, beam_s, beam_e, nodes, res_d, res_s, _ = state
+        if fuse:
+            rows = nbr_vecs[jnp.maximum(nodes.T, 0)]      # [Q, E, row_len]
+            beam_d, beam_s, beam_e, misc = fused_expand_merge(
+                nodes, rows, qb, qn, beam_d, beam_s, beam_e,
+                ef=ef, W=W, d=d, ndig=ndig, expand=expand, stop=stop,
+            )
+            nodes = misc[:expand]
+            alive = jnp.any(misc[expand] > 0)
+            return (i + 1, beam_d, beam_s, beam_e, nodes, res_d, res_s,
+                    alive)
         nd, ns, ok = _gather_score(qb, qn, nbr_vecs, aux, nodes, ew)
         adm = None
         if fused:
@@ -937,6 +1140,26 @@ def build_packed_table(adj, vectors, sqnorms):
     aux = _aux_planes(adj, nsq, adj.shape[0])
     cap, W, d = nv.shape
     return jnp.concatenate([nv.reshape(cap, W * d), aux], axis=1)
+
+
+def build_packed_table_chunked(adj, vectors, sqnorms, chunk=1 << 16):
+    """build_packed_table in donated row chunks: the one-shot builder
+    materializes the gathered [cap, W, d] block AND the concat output
+    (~2x the table) — at 1M x W=32 x d=128 that is ~18 GB of transients,
+    an HBM OOM on a 16 GB v5e. Peak here is table + one chunk."""
+    cap, W = adj.shape
+    if cap <= chunk:
+        return build_packed_table(adj, vectors, sqnorms)
+    d = vectors.shape[1]
+    row_len = W * d + (1 + _aux_digits(cap)) * W
+    packed = jnp.zeros((cap, row_len), jnp.bfloat16)
+    for lo in range(0, cap, chunk):
+        hi = min(lo + chunk, cap)
+        packed = update_packed_rows(
+            packed, jnp.arange(lo, hi, dtype=jnp.int32), adj[lo:hi],
+            vectors, sqnorms,
+        )
+    return packed
 
 
 @partial(jax.jit, donate_argnums=(0,))

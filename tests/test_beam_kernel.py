@@ -449,3 +449,57 @@ def test_packed_row_update_matches_rebuild(rng):
         jnp.asarray(adj2), jnp.asarray(vectors), jnp.asarray(sqn)
     )
     np.testing.assert_array_equal(np.asarray(packed2), np.asarray(fresh))
+
+
+def test_fused_expand_merge_matches_split(rng):
+    """The fully fused expand+score+merge kernel (interpret mode) must be
+    bit-identical to the split path (_gather_score + beam_merge_step) on
+    the same packed table. Integer-valued vectors make every inner product
+    exact in bf16/f32, so accumulation order cannot blur the comparison —
+    this pins the kernel's plumbing (group transposes, diagonal extract,
+    aux-plane decode, scratch accumulation, merge wiring)."""
+    import jax.numpy as jnp
+
+    from comet_tpu.ops.beam_kernel import (
+        _aux_digits,
+        _gather_score,
+        build_packed_table,
+        fused_expand_merge,
+    )
+
+    cap, d, W, E, ef, q = 512, 16, 4, 4, 32, LANE
+    ew = E * W
+    vectors = rng.integers(-2, 3, size=(cap, d)).astype(np.float32)
+    sqn = (vectors * vectors).sum(axis=1).astype(np.float32)
+    adj = rng.integers(0, cap, size=(cap, W)).astype(np.int32)
+    adj[rng.random(size=adj.shape) < 0.2] = -1  # holes in the lists
+    packed = build_packed_table(
+        jnp.asarray(adj), jnp.asarray(vectors), jnp.asarray(sqn)
+    )
+    ndig = _aux_digits(cap)
+
+    queries = rng.integers(-2, 3, size=(q, d)).astype(np.float32)
+    qb = jnp.asarray(queries).astype(jnp.bfloat16)
+    qn = jnp.asarray((queries * queries).sum(axis=1).astype(np.float32))
+    nodes = rng.integers(0, cap, size=(E, q)).astype(np.int32)
+    nodes[rng.random(size=nodes.shape) < 0.15] = -1  # finished queries
+
+    beam_d, beam_s, beam_e, _, _ = make_state(rng, ef, ew, q, cap=cap)
+
+    nd, ns, _ = _gather_score(qb, qn, packed, None, jnp.asarray(nodes), ew)
+    sd, ss, se, smisc, _, _ = beam_merge_step(
+        np.asarray(beam_d), beam_s, beam_e, np.asarray(nd), np.asarray(ns),
+        ef=ef, ew=ew, expand=E, fused=False, use_pallas=False,
+    )
+
+    nc = jnp.maximum(jnp.asarray(nodes).T, 0)
+    rows = packed[nc]
+    fd, fs, fe, fmisc = fused_expand_merge(
+        jnp.asarray(nodes), rows, qb, qn,
+        jnp.asarray(beam_d), jnp.asarray(beam_s), jnp.asarray(beam_e),
+        ef=ef, W=W, d=d, ndig=ndig, expand=E, stop=None, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(fd), np.asarray(sd))
+    np.testing.assert_array_equal(np.asarray(fs), np.asarray(ss))
+    np.testing.assert_array_equal(np.asarray(fe), np.asarray(se))
+    np.testing.assert_array_equal(np.asarray(fmisc), np.asarray(smisc))
