@@ -117,7 +117,13 @@ def _use_fused_beam() -> bool:
     """COMET_HNSW_FUSE=1 runs each search iteration's expand+score+merge
     as ONE Pallas kernel over the pre-gathered packed rows
     (ops/beam_kernel.fused_expand_merge) — unfiltered searches only; the
-    split path keeps serving filtered/threshold/deleted-slot searches."""
+    split path keeps serving filtered/threshold/deleted-slot searches.
+
+    The CI parity test (tests/test_beam_kernel.py) runs the kernel in
+    interpret mode for stop=None and stop=16; on-device bf16/f32 MXU
+    bit-exactness (_t2d / _score_packed_block) must be re-checked via
+    scripts/profile_fused.py's parity line before enabling in a new
+    environment."""
     import os
 
     return os.environ.get("COMET_HNSW_FUSE", "0") == "1"
@@ -271,7 +277,9 @@ class HNSWIndex(BaseVectorIndex):
         """(Re)create device mirrors when capacity changes."""
         cap = self._store.capacity
         if self._dev_cap != cap:
-            self._dev_vectors = jnp.asarray(self._store.vectors)
+            from comet_tpu.indexes.base import upload_f32_exact
+
+            self._dev_vectors = upload_f32_exact(self._store.vectors)
             self._dev_sqnorms = jnp.sum(self._dev_vectors * self._dev_vectors, axis=1)
             self._dev_adj0 = jnp.asarray(self._adj0)
             self._dev_cap = cap

@@ -580,8 +580,8 @@ def _score_packed_block(row, qb, qn_row, node_row, W, d, ndig):
 
 
 def _fused_expand_kernel(
-    nodes_ref,                 # [1, L] i32
-    rows_ref,                  # [L, 1, row_len] bf16
+    nodes_ref,                 # [1, 1, L] i32
+    rows_ref,                  # [1, L, row_len] bf16
     qb_ref,                    # [L, d] bf16
     qn_ref,                    # [1, L] f32
     bd_ref, bs_ref, be_ref,    # [ef, L]
@@ -591,7 +591,7 @@ def _fused_expand_kernel(
 ):
     e = pl.program_id(1)
     nd, ns = _score_packed_block(
-        rows_ref[:, 0, :], qb_ref[:], qn_ref[:], nodes_ref[:], W, d, ndig
+        rows_ref[0], qb_ref[:], qn_ref[:], nodes_ref[0], W, d, ndig
     )
     nd_acc[pl.ds(e * W, W), :] = nd
     ns_acc[pl.ds(e * W, W), :] = ns
@@ -616,7 +616,7 @@ def _fused_expand_kernel(
 )
 def fused_expand_merge(
     nodes,    # [E, Q] i32 nodes to expand (-1 = none)
-    rows,     # [Q, E, row_len] bf16 gathered packed rows
+    rows,     # [E, Q, row_len] bf16 gathered packed rows
     qb,       # [Q, d] bf16
     qn,       # [Q] f32
     beam_d, beam_s, beam_e,   # [ef, Q]
@@ -625,17 +625,23 @@ def fused_expand_merge(
     """One loop iteration's score+merge as a single Pallas kernel over the
     pre-gathered packed rows. Unfiltered (fused=False) searches only — the
     result-admission path needs an `allowed[slot]` gather the kernel cannot
-    issue. Returns (beam_d', beam_s', beam_e', misc)."""
+    issue. Returns (beam_d', beam_s', beam_e', misc).
+
+    Layouts: nodes rides as [E, 1, Q] and rows as [E, Q, row_len] so every
+    BlockSpec's trailing two dims are (8k, 128k)-aligned or whole — Mosaic
+    rejects blocks like (1, 128) over an (8, 2048) array."""
     q = beam_d.shape[1]
+    assert q % LANE == 0, q
     grid = (q // LANE, expand)
 
     def col(rows_, imap):
         return pl.BlockSpec((rows_, LANE), imap, memory_space=pltpu.VMEM)
 
     in_specs = [
-        col(1, lambda qi, e: (e, qi)),                        # nodes
+        pl.BlockSpec((1, 1, LANE), lambda qi, e: (e, 0, qi),
+                     memory_space=pltpu.VMEM),                # nodes
         pl.BlockSpec(
-            (LANE, 1, rows.shape[2]), lambda qi, e: (qi, e, 0),
+            (1, LANE, rows.shape[2]), lambda qi, e: (e, qi, 0),
             memory_space=pltpu.VMEM,
         ),                                                    # rows
         pl.BlockSpec((LANE, d), lambda qi, e: (qi, 0),
@@ -674,7 +680,10 @@ def fused_expand_merge(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(nodes, rows, qb, qn.reshape(1, q), beam_d, beam_s, beam_e)
+    )(
+        nodes.reshape(expand, 1, q), rows, qb, qn.reshape(1, q),
+        beam_d, beam_s, beam_e,
+    )
 
 
 # -- full search orchestration -------------------------------------------------
@@ -1042,7 +1051,7 @@ def _beam_search_jit(
     def body(state):
         i, beam_d, beam_s, beam_e, nodes, res_d, res_s, _ = state
         if fuse:
-            rows = nbr_vecs[jnp.maximum(nodes.T, 0)]      # [Q, E, row_len]
+            rows = nbr_vecs[jnp.maximum(nodes, 0)]        # [E, Q, row_len]
             beam_d, beam_s, beam_e, misc = fused_expand_merge(
                 nodes, rows, qb, qn, beam_d, beam_s, beam_e,
                 ef=ef, W=W, d=d, ndig=ndig, expand=expand, stop=stop,

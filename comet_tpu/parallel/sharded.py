@@ -606,7 +606,7 @@ class ShardedSeededHNSWSearcher:
     stream (shard that; graph tables are MBs and replicate). Seed distances
     ride the index's metric domain (ops/distance), so they merge cleanly
     with beam rediscovery distances, and results are shard-count-invariant
-    (tests/test_sharded_determinism.py)."""
+    (tests/test_seeded_beam.py::test_sharded_seeded_shard_count_invariance)."""
 
     def __init__(self, mesh: Mesh, hnsw_index, nlist: int | None = None,
                  nprobe: int = 0, tile: int = 1 << 13, seed: int = 0,

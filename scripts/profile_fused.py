@@ -89,8 +89,8 @@ def gather_score(qb, qn, packed, nodes):
 
 @jax.jit
 def fused_step(qb, qn, packed, nodes, beam_d, beam_s, beam_e):
-    nc = jnp.maximum(nodes.T, 0)
-    rows = packed[nc]
+    nc = jnp.maximum(nodes, 0)
+    rows = packed[nc]                                  # [E, Q, row_len]
     return bk.fused_expand_merge(
         nodes, rows, qb, qn, beam_d, beam_s, beam_e,
         ef=beam_d.shape[0], W=W, d=D, ndig=NDIG, expand=E, stop=None,

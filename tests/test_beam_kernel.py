@@ -487,19 +487,25 @@ def test_fused_expand_merge_matches_split(rng):
     beam_d, beam_s, beam_e, _, _ = make_state(rng, ef, ew, q, cap=cap)
 
     nd, ns, _ = _gather_score(qb, qn, packed, None, jnp.asarray(nodes), ew)
-    sd, ss, se, smisc, _, _ = beam_merge_step(
-        np.asarray(beam_d), beam_s, beam_e, np.asarray(nd), np.asarray(ns),
-        ef=ef, ew=ew, expand=E, fused=False, use_pallas=False,
-    )
 
-    nc = jnp.maximum(jnp.asarray(nodes).T, 0)
-    rows = packed[nc]
-    fd, fs, fe, fmisc = fused_expand_merge(
-        jnp.asarray(nodes), rows, qb, qn,
-        jnp.asarray(beam_d), jnp.asarray(beam_s), jnp.asarray(beam_e),
-        ef=ef, W=W, d=d, ndig=ndig, expand=E, stop=None, interpret=True,
-    )
-    np.testing.assert_array_equal(np.asarray(fd), np.asarray(sd))
-    np.testing.assert_array_equal(np.asarray(fs), np.asarray(ss))
-    np.testing.assert_array_equal(np.asarray(fe), np.asarray(se))
-    np.testing.assert_array_equal(np.asarray(fmisc), np.asarray(smisc))
+    nc = jnp.maximum(jnp.asarray(nodes), 0)
+    rows = packed[nc]                                  # [E, q, row_len]
+    # both the classic bound (stop=None) and the seeded k-window bound
+    # (stop=next_pow2(k)) — the stop branch changes _phase_select's
+    # termination row and must stay bit-identical too (ADVICE r4)
+    for stop in (None, 16):
+        sd, ss, se, smisc, _, _ = beam_merge_step(
+            np.asarray(beam_d), beam_s, beam_e,
+            np.asarray(nd), np.asarray(ns),
+            ef=ef, ew=ew, expand=E, fused=False, stop=stop,
+            use_pallas=False,
+        )
+        fd, fs, fe, fmisc = fused_expand_merge(
+            jnp.asarray(nodes), rows, qb, qn,
+            jnp.asarray(beam_d), jnp.asarray(beam_s), jnp.asarray(beam_e),
+            ef=ef, W=W, d=d, ndig=ndig, expand=E, stop=stop, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(fd), np.asarray(sd))
+        np.testing.assert_array_equal(np.asarray(fs), np.asarray(ss))
+        np.testing.assert_array_equal(np.asarray(fe), np.asarray(se))
+        np.testing.assert_array_equal(np.asarray(fmisc), np.asarray(smisc))
