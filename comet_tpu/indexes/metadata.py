@@ -34,6 +34,7 @@ import numpy as np
 from comet_tpu.core.node import MetadataNode
 from comet_tpu.io import serial
 from comet_tpu.ops.bitset import BSI, Bitset
+from comet_tpu.utils.memory import memory_report
 from comet_tpu.types import InvalidConfigError
 
 MAGIC = b"CMTX"
@@ -142,15 +143,26 @@ def _and_fold(parts: list[tuple[Bitset, bool]]) -> Bitset:
     """AND a list of (bitset, shared) predicate results into ONE owned
     bitset with a single output allocation — inputs are never mutated, so
     live planes and BSI cache entries participate copy-free. AND truncates
-    to the shortest word array (bits past a shorter operand are 0)."""
+    to the shortest word array (bits past a shorter operand are 0).
+
+    The native path folds all operands in ONE memory pass, ordered most-
+    selective-first (cached popcounts) so zero blocks skip the remaining
+    operands' bandwidth (native/bitset_kernels.c bitset_and_fold); numpy
+    fallback pays one pass per operand."""
     if not parts:
         return Bitset()
     if len(parts) == 1:
         bs, shared = parts[0]
-        return bs.clone() if shared else bs
+        return bs.share() if shared else bs
+    from comet_tpu import native
+
     n = min(len(bs.words) for bs, _ in parts)
-    out = np.bitwise_and(parts[0][0].words[:n], parts[1][0].words[:n])
-    for bs, _ in parts[2:]:
+    sets = sorted((bs for bs, _ in parts), key=Bitset.count)
+    folded = native.bitset_and_fold([bs.words for bs in sets], n)
+    if folded is not None:
+        return Bitset(folded)
+    out = np.bitwise_and(sets[0].words[:n], sets[1].words[:n])
+    for bs in sets[2:]:
         np.bitwise_and(out, bs.words[:n], out=out)
     return Bitset(out)
 
@@ -161,7 +173,7 @@ def _or_fold(parts: list[tuple[Bitset, bool]]) -> Bitset:
         return Bitset()
     if len(parts) == 1:
         bs, shared = parts[0]
-        return bs.clone() if shared else bs
+        return bs.share() if shared else bs
     n = max(len(bs.words) for bs, _ in parts)
     first = parts[0][0].words
     out = np.zeros(n, dtype=np.uint64)
@@ -483,6 +495,7 @@ class RoaringMetadataIndex:
                 "docs": self._all_docs.count(),
                 "categorical_planes": len(self._categorical),
                 "numeric_fields": len(self._numeric),
+                "memory": memory_report(self),
             }
 
     # -- filter evaluation -------------------------------------------------
@@ -510,11 +523,10 @@ class RoaringMetadataIndex:
             return (bs, True) if bs is not None else (Bitset(), False)
         if op == "ne":
             key = f"{f.field}:{_cat_value(f.value)}"
-            result = self._all_docs.clone()
             bs = self._categorical.get(key)
-            if bs is not None:
-                result.iandnot(bs)
-            return result, False
+            if bs is None:
+                return self._all_docs.share(), False
+            return self._all_docs.andnot(bs), False
         if op in ("gt", "gte", "lt", "lte", "range"):
             # Numeric operator on a field this index has never seen as
             # numeric: no matches. (The reference errors here, which makes a
@@ -585,7 +597,7 @@ class RoaringMetadataIndex:
     def _eval_filter(self, f: Filter) -> Bitset:
         """Owned (mutation-safe) single-predicate evaluation."""
         bs, shared = self._eval_filter_ro(f)
-        return bs.clone() if shared else bs
+        return bs.share() if shared else bs
 
     def _eval(self, filters: list[Filter], groups: list[FilterGroup]) -> Bitset:
         if groups:
@@ -607,7 +619,7 @@ class RoaringMetadataIndex:
         if filters:
             return _and_fold([self._eval_filter_ro(f) for f in filters])
         # neither set: all documents (metadata_index_search.go Execute)
-        return self._all_docs.clone()
+        return self._all_docs.share()
 
     @staticmethod
     def _value_sig(v):
@@ -653,12 +665,12 @@ class RoaringMetadataIndex:
             if sig is not None:
                 hit = self._bitset_cache.get(sig)
                 if hit is not None:
-                    return Bitset(hit.words.copy())
+                    return hit.share()
             out = self._eval(filters, groups)
             if sig is not None:
                 if len(self._bitset_cache) >= 256:
                     self._bitset_cache.clear()
-                self._bitset_cache[sig] = Bitset(out.words.copy())
+                self._bitset_cache[sig] = out.share()
             return out
 
     def new_search(self) -> "MetadataSearchBuilder":

@@ -74,6 +74,11 @@ def _load():
         u64p, ctypes.c_size_t, ctypes.c_size_t, u64p,
     ]
     lib.bitset_and_many.restype = None
+    lib.bitset_and_fold.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_size_t,
+        ctypes.c_size_t, u64p,
+    ]
+    lib.bitset_and_fold.restype = None
     lib.bm25_score_topk.argtypes = [
         i32p, f32p,                    # postings docs/tfs
         i64p, i64p, f32p,              # per-(q,term) starts/lens/idfs
@@ -130,6 +135,21 @@ def bitset_and_many(rows: np.ndarray) -> np.ndarray | None:
         _p(rows, ctypes.c_uint64), rows.shape[0], rows.shape[1],
         _p(out, ctypes.c_uint64),
     )
+    return out
+
+
+def bitset_and_fold(arrs: list, n: int) -> np.ndarray | None:
+    """AND-fold a list of uint64 word arrays (each len >= n, C-contiguous)
+    over their first n words, one memory pass with zero-block skipping.
+    Returns the folded words [n], or None when native is absent."""
+    lib = _load()
+    if lib is None or not arrs:
+        return None
+    out = np.empty(n, dtype=np.uint64)
+    ptrs = (ctypes.c_void_p * len(arrs))(
+        *(a.ctypes.data for a in arrs)
+    )
+    lib.bitset_and_fold(ptrs, len(arrs), n, _p(out, ctypes.c_uint64))
     return out
 
 

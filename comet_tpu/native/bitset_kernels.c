@@ -70,7 +70,8 @@ void bsi_compare_pack(const uint64_t *vals, size_t n, int op,
 }
 
 /* AND-reduce a stack of bitset word arrays: out = rows[0] & ... & rows[r-1].
- * rows is row-major [r, words]. */
+ * rows is row-major [r, words]. (Legacy layout — requires the caller to
+ * copy all operands into one matrix; prefer bitset_and_fold.) */
 void bitset_and_many(const uint64_t *rows, size_t r, size_t words,
                      uint64_t *out) {
     if (r == 0) return;
@@ -78,5 +79,42 @@ void bitset_and_many(const uint64_t *rows, size_t r, size_t words,
     for (size_t i = 1; i < r; ++i) {
         const uint64_t *row = rows + i * words;
         for (size_t w = 0; w < words; ++w) out[w] &= row[w];
+    }
+}
+
+/* AND-fold r word arrays (given as POINTERS — no operand copies) into out,
+ * blockwise with zero-block skipping:
+ *
+ *   - one pass over memory total (the numpy fold pays r-1 full passes);
+ *   - per 64-word (512 B) block, once the running AND of the first
+ *     operands is all-zero the remaining operands are never read — with
+ *     the caller ordering operands by ascending popcount (selective
+ *     first), sparse intersections skip most of the wide operands'
+ *     bandwidth, which is the dense-layout answer to roaring's
+ *     container-sparsity advantage (docs/INDEX.md:7250-7276).
+ *
+ * Every inner loop is a plain AND/OR pass the compiler auto-vectorizes;
+ * operands interleave per 512 B block so the running AND stays in L1
+ * across operands and a zero block skips the remaining operands' DRAM. */
+void bitset_and_fold(const uint64_t *const *rows, size_t r,
+                     size_t words, uint64_t *out) {
+    if (r == 0) return;
+    const size_t B = 64;
+    for (size_t lo = 0; lo < words; lo += B) {
+        const size_t hi = lo + B < words ? lo + B : words;
+        const uint64_t *a = rows[0];
+        if (r == 1) {
+            for (size_t w = lo; w < hi; ++w) out[w] = a[w];
+            continue;
+        }
+        const uint64_t *b = rows[1];
+        for (size_t w = lo; w < hi; ++w) out[w] = a[w] & b[w];
+        for (size_t k = 2; k < r; ++k) {
+            uint64_t any = 0;
+            for (size_t w = lo; w < hi; ++w) any |= out[w];
+            if (!any) break;
+            const uint64_t *c = rows[k];
+            for (size_t w = lo; w < hi; ++w) out[w] &= c[w];
+        }
     }
 }

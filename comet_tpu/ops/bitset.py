@@ -19,14 +19,41 @@ _BIAS = np.uint64(1 << 63)
 
 
 class Bitset:
-    """Growable packed bitset over uint64 words."""
+    """Growable packed bitset over uint64 words.
 
-    __slots__ = ("words",)
+    COPY-ON-WRITE: `share()` returns an O(1) second handle on the same
+    word array and flips BOTH handles to copy-before-mutate. Query paths
+    (single-plane Eq, memo hits) return shared handles instead of eager
+    clones — the roaring reference clones every categorical hit
+    (metadata_index.go:263), paying a full-plane copy per query that a
+    read-only consumer never needed. Popcounts memoize until mutation.
+    """
+
+    __slots__ = ("words", "_shared", "_count")
 
     def __init__(self, words: np.ndarray | None = None):
         self.words = (
             words if words is not None else np.zeros(1, dtype=np.uint64)
         )
+        self._shared = False
+        self._count: int | None = None
+
+    def share(self) -> "Bitset":
+        """O(1) copy-on-write handle: both this bitset and the returned one
+        copy their words before the next mutation (reads stay shared)."""
+        self._shared = True
+        out = Bitset(self.words)
+        out._shared = True
+        out._count = self._count
+        return out
+
+    def _own(self) -> None:
+        """Called before every mutation: materialize a private copy if the
+        word array is shared, and invalidate the cached popcount."""
+        if self._shared:
+            self.words = self.words.copy()
+            self._shared = False
+        self._count = None
 
     # -- sizing ------------------------------------------------------------
 
@@ -36,6 +63,7 @@ class Bitset:
             grown = np.zeros(new_len, dtype=np.uint64)
             grown[: len(self.words)] = self.words
             self.words = grown
+            self._shared = False
 
     @staticmethod
     def _align(a: "Bitset", b: "Bitset") -> tuple[np.ndarray, np.ndarray]:
@@ -52,11 +80,13 @@ class Bitset:
     # -- single-bit ops ----------------------------------------------------
 
     def add(self, i: int) -> None:
+        self._own()
         w = i >> 6
         self._ensure(w)
         self.words[w] |= np.uint64(1 << (i & 63))
 
     def discard(self, i: int) -> None:
+        self._own()
         w = i >> 6
         if w < len(self.words):
             self.words[w] &= ~np.uint64(1 << (i & 63))
@@ -73,6 +103,7 @@ class Bitset:
         ids = np.asarray(ids, dtype=np.uint64)
         if ids.size == 0:
             return
+        self._own()
         self._ensure(int(ids.max()) >> 6)
         np.bitwise_or.at(
             self.words, (ids >> np.uint64(6)).astype(np.int64),
@@ -83,6 +114,7 @@ class Bitset:
         ids = np.asarray(ids, dtype=np.uint64)
         if ids.size == 0:
             return
+        self._own()
         w = (ids >> np.uint64(6)).astype(np.int64)
         in_range = w < len(self.words)
         if not in_range.all():
@@ -120,17 +152,25 @@ class Bitset:
 
     def iand(self, other: "Bitset") -> None:
         self.words = self.and_(other).words
+        self._shared = False
+        self._count = None
 
     def ior(self, other: "Bitset") -> None:
         self.words = self.or_(other).words
+        self._shared = False
+        self._count = None
 
     def iandnot(self, other: "Bitset") -> None:
         self.words = self.andnot(other).words
+        self._shared = False
+        self._count = None
 
     # -- inspection --------------------------------------------------------
 
     def count(self) -> int:
-        return int(np.bitwise_count(self.words).sum())
+        if self._count is None:
+            self._count = int(np.bitwise_count(self.words).sum())
+        return self._count
 
     def is_empty(self) -> bool:
         return not self.words.any()
@@ -235,7 +275,7 @@ class BSI:
     def _predicate(self, key, opcode, lo, hi, fn, ro: bool = False) -> Bitset:
         hit = self._cache.get(key)
         if hit is not None:
-            return hit if ro else hit.clone()
+            return hit if ro else hit.share()
         from comet_tpu import native
 
         words = native.bsi_compare_pack(
@@ -254,7 +294,7 @@ class BSI:
         if len(self._cache) >= 256:
             self._cache.clear()
         self._cache[key] = out
-        return out if ro else out.clone()
+        return out if ro else out.share()
 
     def compare_gt(self, value: int, ro: bool = False) -> Bitset:
         b = np.uint64((int(value) + (1 << 63)) & ((1 << 64) - 1))

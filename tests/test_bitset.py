@@ -161,3 +161,47 @@ def test_native_matches_numpy_fallback(rng, monkeypatch):
         numpy_out = b.compare_range(probe, probe + 10**6).to_array()
         monkeypatch.undo()
         assert np.array_equal(native_out, numpy_out), ("range", probe)
+
+
+def test_cow_share_isolates_mutation():
+    """share() hands out an O(1) view; the FIRST mutation of either handle
+    copies, so neither side ever observes the other's writes."""
+    a = Bitset.from_array([1, 5, 900])
+    v = a.share()
+    assert v.contains(5) and v.count() == 3
+    a.add(7)  # owner mutates after sharing
+    assert a.contains(7) and not v.contains(7)
+    assert v.count() == 3 and a.count() == 4
+    v.discard(1)  # view mutates independently
+    assert a.contains(1) and not v.contains(1)
+    # chained shares: a -> v2 while a is already unshared again
+    v2 = a.share()
+    a.add_many(np.array([64 * 100]))  # forces _ensure growth too
+    assert not v2.contains(6400) and a.contains(6400)
+
+
+def test_cow_count_cache_tracks_mutation():
+    a = Bitset.from_array([3, 4])
+    assert a.count() == 2
+    a.add(9)
+    assert a.count() == 3
+    a.iand(Bitset.from_array([3, 9, 11]))
+    assert a.count() == 2
+
+
+def test_native_and_fold_matches_numpy(rng):
+    from comet_tpu import native
+
+    arrs = [
+        rng.integers(0, 2**63, size=200, dtype=np.int64).astype(np.uint64)
+        for _ in range(5)
+    ]
+    arrs[0][5:] = 0  # sparse first operand exercises the block skip
+    n = 160
+    got = native.bitset_and_fold(arrs, n)
+    if got is None:
+        return  # no C compiler in this environment
+    want = arrs[0][:n]
+    for a in arrs[1:]:
+        want = want & a[:n]
+    assert np.array_equal(got, want)

@@ -345,3 +345,35 @@ def test_filter_bitset_memo_groups_distinguish_types():
     g_int = FilterGroup(filters=[eq("flag", 1), eq("x", 5)], logic="AND")
     assert idx.filter_bitset(groups=[g_bool]).to_array().tolist() == [1]
     assert idx.filter_bitset(groups=[g_int]).to_array().tolist() == [2]
+
+
+def test_filter_result_isolated_from_later_writes():
+    """filter_bitset returns COW handles over live planes / memo entries;
+    results captured before a write must not change when the index mutates
+    afterwards (the reference gets this from eager clones,
+    metadata_index.go:263 — COW gives the same isolation without the
+    per-query full-plane copy)."""
+    from comet_tpu.core.node import new_metadata_node_with_id
+
+    mi = RoaringMetadataIndex()
+    mi.add_batch(
+        [new_metadata_node_with_id(i, {"cat": "a" if i % 2 else "b",
+                                       "price": i}) for i in range(1, 101)]
+    )
+    before = mi.filter_bitset([eq("cat", "a")])
+    before_ids = before.to_array()
+    memo_hit = mi.filter_bitset([eq("cat", "a")])  # memoized share
+    # now mutate the index: add more cat=a docs and remove one
+    mi.add_batch(
+        [new_metadata_node_with_id(i, {"cat": "a", "price": i})
+         for i in range(200, 220)]
+    )
+    mi.remove(new_metadata_node_with_id(1, {"cat": "a", "price": 1}))
+    assert np.array_equal(before.to_array(), before_ids)
+    assert np.array_equal(memo_hit.to_array(), before_ids)
+    after = mi.filter_bitset([eq("cat", "a")])
+    assert 1 not in set(after.to_array().tolist())
+    assert 200 in set(after.to_array().tolist())
+    # and mutating a RESULT must not corrupt the live plane
+    after.discard(3)
+    assert 3 in set(mi.filter_bitset([eq("cat", "a")]).to_array().tolist())
