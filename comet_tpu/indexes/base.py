@@ -22,6 +22,7 @@ from comet_tpu.core.aggregation import aggregate_scores
 from comet_tpu.core.limiter import autocut_results, limit_results
 from comet_tpu.core.node import VectorNode
 from comet_tpu.core.results import Reranker, VectorResult
+from comet_tpu.utils.memory import memory_report
 from comet_tpu.types import (
     DimensionMismatchError,
     DistanceKind,
@@ -36,6 +37,38 @@ MIN_CAPACITY = 1024
 def next_pow2(x: int, minimum: int = 1) -> int:
     v = max(int(x), minimum)
     return 1 << (v - 1).bit_length()
+
+
+def upload_f32_exact(vecs_np: np.ndarray) -> jnp.ndarray:
+    """Upload a float32 matrix to HBM, using a narrow EXACT wire format
+    when one exists.
+
+    The tunnel is byte-bound (~45 MB/s; BENCHMARKS.md footnote 1), and the
+    classic vector-search corpora are integer-valued (SIFT descriptors are
+    0..255 gradient counts — siftgen reproduces this), so a f32 corpus
+    whose values are all integers in int8/int16 range crosses the wire at
+    1/4 or 1/2 the bytes and casts back to f32 on device BIT-EXACTLY
+    (integers up to 2^15 are exact in f32). Non-integral corpora (e.g.
+    cosine-normalized) upload as plain f32. The integrality check runs on
+    a 4096-row sample first so float corpora pay ~nothing."""
+    import jax
+
+    n = vecs_np.shape[0]
+    if n and vecs_np.dtype == np.float32:
+        sample = vecs_np[: min(n, 4096)]
+        if np.array_equal(np.rint(sample), sample) and np.array_equal(
+            np.rint(vecs_np), vecs_np
+        ):
+            amax = float(np.abs(vecs_np).max()) if vecs_np.size else 0.0
+            wire_dtype = (
+                np.int8 if amax <= 127.0
+                else np.int16 if amax <= 32767.0
+                else None
+            )
+            if wire_dtype is not None:
+                wire = jnp.asarray(vecs_np.astype(wire_dtype))
+                return jax.jit(lambda w: w.astype(jnp.float32))(wire)
+    return jnp.asarray(vecs_np)
 
 
 class SlotStore:
@@ -139,7 +172,7 @@ class SlotStore:
     def device_state(self):
         """Lazily synced device mirror: (vectors, sqnorms, valid) in HBM."""
         if self._dev_version != self.version:
-            vecs = jnp.asarray(self.vectors)
+            vecs = upload_f32_exact(self.vectors)
             sqnorms = jnp.sum(vecs * vecs, axis=1)
             valid = jnp.asarray(self.valid)
             self._dev = (vecs, sqnorms, valid)
@@ -279,6 +312,10 @@ class BaseVectorIndex:
                 "capacity": s.capacity,
                 "host_bytes": int(s.vectors.nbytes + s.ids.nbytes + s.valid.nbytes),
                 "device_synced": s._dev_version == s.version,
+                # exact per-structure memory (utils/memory.py; the
+                # reference only publishes narrative numbers,
+                # docs/INDEX.md:1977-1990)
+                "memory": memory_report(self),
             }
 
     def new_search(self) -> VectorSearchBuilder:

@@ -40,6 +40,7 @@ from comet_tpu.core.results import TextResult
 from comet_tpu.indexes import uax29
 from comet_tpu.io import serial
 from comet_tpu.ops.bitset import Bitset
+from comet_tpu.utils.memory import memory_report
 from comet_tpu.types import (
     InvalidConfigError,
     NodeNotFoundError,
@@ -160,6 +161,7 @@ class BM25SearchIndex:
                 "terms": len(self._postings),
                 "total_tokens": self._total_tokens,
                 "avg_doc_len": self.avg_doc_len,
+                "memory": memory_report(self),
             }
 
     # -- mutation --------------------------------------------------------------

@@ -56,7 +56,7 @@ from comet_tpu.types import (
 )
 
 MAGIC = b"CIPQ"
-VERSION = 2  # v2: CRC32 payload trailer (v1 readable, no trailer check)
+VERSION = 3  # v3: optional OPQ rotation; v2: CRC32 trailer (older readable)
 
 IVFPQ_QUERY_CHUNK = 256
 
@@ -151,6 +151,39 @@ def _ivfpq_search_kernel(
     return state[3], state[4]
 
 
+@partial(jax.jit, static_argnames=("k", "kind"))
+def _refine_device(
+    qpad: jax.Array,     # [Q, d] preprocessed queries (zero pad rows)
+    slots: jax.Array,    # [Q, C] i32 ADC candidates (IDX_SENTINEL pads)
+    vectors: jax.Array,  # [cap, d] stored originals
+    sqnorms: jax.Array,  # [cap]
+    k: int,
+    kind: DistanceKind,
+):
+    """Exact re-rank of the ADC top candidates on the stored originals,
+    fused on device (the nrefine extension; README.md:1779 documents it,
+    the Go code never ships it). The host rerank this replaces downloaded
+    the candidate block and ran a numpy einsum per batch — 4x the QPS cost
+    at 1M (BENCHMARKS.md r4 nrefine row). Tie order matches the host path:
+    (exact score asc, slot asc). Returns (scores [Q, k], slots [Q, k])."""
+    sent = jnp.int32(IDX_SENTINEL)
+    safe = jnp.where(slots == sent, 0, slots)
+    v = vectors[safe]                                    # [Q, C, d]
+    ip = jnp.einsum(
+        "qd,qcd->qc", qpad, v,
+        preferred_element_type=jnp.float32, precision=DEFAULT_PRECISION,
+    )
+    if kind == DistanceKind.COSINE:
+        exact = 1.0 - jnp.clip(ip, -1.0, 1.0)
+    else:
+        qn = jnp.sum(qpad * qpad, axis=1)
+        l2sq = jnp.maximum(qn[:, None] + sqnorms[safe] - 2.0 * ip, 0.0)
+        exact = l2sq if kind == DistanceKind.L2_SQUARED else jnp.sqrt(l2sq)
+    exact = jnp.where(slots == sent, INF, exact)
+    sd, ss = lax.sort((exact, slots), dimension=1, num_keys=2)
+    return sd[:, :k], ss[:, :k]
+
+
 class IVFPQIndex(BaseVectorIndex):
     """IVF + PQ-on-residuals index (reference: ivfpq_index.go:54-100)."""
 
@@ -162,6 +195,8 @@ class IVFPQIndex(BaseVectorIndex):
         m: int | None = None,
         nbits: int = 8,
         store_originals: bool = False,
+        opq: bool = False,
+        opq_iters: int = 6,
     ):
         super().__init__(dim, distance_kind)
         if nlist <= 0:
@@ -182,6 +217,16 @@ class IVFPQIndex(BaseVectorIndex):
         self._ksub = 1 << nbits
         self._dsub = dim // m
         self._store_originals = store_originals
+        # OPQ extension (Ge et al., CVPR 2013 — beyond the reference, like
+        # nrefine): learn an orthogonal rotation R that aligns the PQ
+        # subspace split with the data before quantization. The MODEL
+        # (centroids, codebooks, codes) lives in rotated coordinates; the
+        # dense-scan path rotates reconstructions BACK once at build time,
+        # so serving in original coordinates pays zero per-query cost and
+        # stored originals / nrefine stay in user space.
+        self._opq = bool(opq)
+        self._opq_iters = int(opq_iters)
+        self._rot: np.ndarray | None = None
         if not store_originals:
             # vector-less store: only codes + residual assignment kept
             from comet_tpu.indexes.base import SlotStore
@@ -237,6 +282,9 @@ class IVFPQIndex(BaseVectorIndex):
                 f"(nlist*10), got {len(vectors)}"
             )
         prepped = preprocess(vectors, self._distance_kind)
+        rot = self._train_opq(prepped, max_iter) if self._opq else None
+        if rot is not None:
+            prepped = prepped @ rot
         # Fused device path: one upload, coarse loop, device residuals,
         # subspace loop (the split host-residual path re-uploaded the
         # residual matrix — 2x the tunnel bytes; ivfpq_index.go:164-259)
@@ -245,11 +293,54 @@ class IVFPQIndex(BaseVectorIndex):
             self._m, self._ksub, max_iter,
         )
         with self._lock:
+            self._rot = rot
             self._centroids = centroids
             self._codebooks = codebooks
             self._trained = True
             self._dev_version = -1
             self._dense_version = -1
+
+    def _train_opq(self, prepped: np.ndarray, max_iter: int) -> np.ndarray:
+        """Learn the OPQ rotation by the non-parametric alternation
+        (OPQ-NP): train a cheap (coarse + PQ) model in the current rotated
+        space, reconstruct, then solve the orthogonal Procrustes problem
+        R = UV^T of Y^T·Ŷ for the rotation that best maps the data onto
+        its reconstructions. Model fits and reconstructions run on device;
+        only the d x d SVD runs on host."""
+        import jax
+
+        from comet_tpu.ops.adc import ivfpq_assign_encode, pq_decode
+
+        d = self._dim
+        y_dev = jnp.asarray(prepped)
+        rot = np.eye(d, dtype=np.float32)
+
+        @jax.jit
+        def rotate(y, r):
+            return jnp.dot(y, r, preferred_element_type=jnp.float32,
+                           precision=DEFAULT_PRECISION)
+
+        @jax.jit
+        def procrustes_m(y, cent, books, assign, codes):
+            rec = cent[assign] + pq_decode(codes, books)
+            return jnp.dot(y.T, rec, preferred_element_type=jnp.float32,
+                           precision=DEFAULT_PRECISION)
+
+        inner_iter = max(2, min(4, max_iter))
+        for _ in range(max(self._opq_iters, 1)):
+            z = np.asarray(rotate(y_dev, jnp.asarray(rot)))
+            cent, books = kmeans_ivfpq_train(
+                z, self._nlist, self._distance_kind,
+                self._m, self._ksub, inner_iter,
+            )
+            cent_d, books_d = jnp.asarray(cent), jnp.asarray(books)
+            assign, codes = ivfpq_assign_encode(
+                jnp.asarray(z), cent_d, books_d, self._distance_kind
+            )
+            m = np.asarray(procrustes_m(y_dev, cent_d, books_d, assign, codes))
+            u, _, vt = np.linalg.svd(m)
+            rot = (u @ vt).astype(np.float32)
+        return rot
 
     # -- mutation --------------------------------------------------------------
 
@@ -280,12 +371,14 @@ class IVFPQIndex(BaseVectorIndex):
 
         cent_dev = jnp.asarray(self._centroids)
         cb_dev = jnp.asarray(self._codebooks)
+        rot_dev = jnp.asarray(self._rot) if self._rot is not None else None
         assign, codes = stream_device_map(
             _partial(
                 ivfpq_assign_encode,
                 centroids=cent_dev,
                 codebooks=cb_dev,
                 kind=self._distance_kind,
+                rot=rot_dev,
             ),
             prepped,
             chunk_rows=1 << 17,
@@ -332,7 +425,10 @@ class IVFPQIndex(BaseVectorIndex):
         resid = np.asarray(
             pq_decode(jnp.asarray(self._codes[slot][None, :]), jnp.asarray(self._codebooks))
         )[0]
-        return self._centroids[self._assign[slot]] + resid
+        rec = self._centroids[self._assign[slot]] + resid
+        if self._rot is not None:
+            rec = rec @ self._rot.T  # model space -> user space
+        return rec
 
     def _lookup_node_vectors(self, node_ids):
         out = []
@@ -401,10 +497,18 @@ class IVFPQIndex(BaseVectorIndex):
             cap = self._store.capacity
 
             @jax.jit
-            def build(codes, assign, centroids, codebooks):
+            def build(codes, assign, centroids, codebooks, rot_t):
                 resid = pq_decode(codes, codebooks)            # [cap, d]
                 cent = centroids[jnp.maximum(assign, 0)]       # [cap, d]
                 rec = resid + cent
+                if rot_t is not None:
+                    # OPQ: reconstructions rotate BACK once at build time,
+                    # so the scan serves original-coordinate queries with
+                    # zero per-query rotation cost (R orthogonal => the
+                    # scanned distances equal rotated-space ADC exactly)
+                    rec = jnp.dot(rec, rot_t,
+                                  preferred_element_type=jnp.float32,
+                                  precision=DEFAULT_PRECISION)
                 return rec.T, jnp.sum(rec * rec, axis=1)
 
             codes = jnp.asarray(self._codes[:cap])
@@ -412,6 +516,7 @@ class IVFPQIndex(BaseVectorIndex):
             rec_t, sqnorms = build(
                 codes, assign,
                 jnp.asarray(self._centroids), jnp.asarray(self._codebooks),
+                jnp.asarray(self._rot.T) if self._rot is not None else None,
             )
             self._dev_rec_t = rec_t
             self._dev_rec_sqn = sqnorms
@@ -481,6 +586,15 @@ class IVFPQIndex(BaseVectorIndex):
                 cosine=False,
                 sqrt_out=True,
             )
+            if nrefine:
+                # fused device-side exact re-rank — no host round-trip of
+                # the wide candidate block (VERDICT r4 #2)
+                vecs_dev, sqn_dev, _valid_dev = store.device_state()
+                s, i = _refine_device(
+                    jnp.asarray(qpad), i[:, :take], vecs_dev, sqn_dev,
+                    k_eff, self._distance_kind,
+                )
+                take, nrefine = k_eff, 0
             try:
                 s.copy_to_host_async()
                 i.copy_to_host_async()
@@ -492,6 +606,10 @@ class IVFPQIndex(BaseVectorIndex):
         (
             centroids, codebooks, chunk_slots, chunk_start, max_chunks, codes, _v,
         ) = self._device_state_ivfpq()
+        if self._rot is not None:
+            # LUT-walk path: centroids/codebooks live in OPQ model space,
+            # so queries rotate in (distances are rotation-invariant)
+            qpad = qpad @ self._rot
         max_steps = next_pow2(nprobe * max_chunks, 4)
         chunks = []
         for q0 in range(0, qpad.shape[0], IVFPQ_QUERY_CHUNK):
@@ -571,6 +689,9 @@ class IVFPQIndex(BaseVectorIndex):
             serial.write_u32(w, self._nbits)
             serial.write_u32(w, 1 if self._store_originals else 0)
             serial.write_u32(w, 1 if self._trained else 0)
+            serial.write_u32(w, 1 if self._rot is not None else 0)
+            if self._rot is not None:
+                serial.write_array(w, self._rot)
             if self._trained:
                 serial.write_array(w, self._centroids)
                 serial.write_array(w, self._codebooks)
@@ -604,6 +725,9 @@ class IVFPQIndex(BaseVectorIndex):
                 f"Nbits={self._nbits}), stored=(nlist={nlist}, M={m}, Nbits={nbits})"
             )
         trained = bool(serial.read_u32(r))
+        rot = None
+        if version >= 3 and serial.read_u32(r):
+            rot = serial.read_array(r).astype(np.float32)
         centroids = serial.read_array(r) if trained else None
         codebooks = serial.read_array(r) if trained else None
         n = serial.read_u64(r)
@@ -619,6 +743,8 @@ class IVFPQIndex(BaseVectorIndex):
             from comet_tpu.indexes.base import SlotStore
 
             self._store_originals = store_originals
+            self._rot = rot
+            self._opq = rot is not None
             self._centroids = centroids
             self._codebooks = codebooks
             self._trained = trained

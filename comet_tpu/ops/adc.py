@@ -61,15 +61,21 @@ def ivfpq_assign_encode(
     centroids: jax.Array,   # [nlist, d] f32
     codebooks: jax.Array,   # [M, Ksub, dsub] f32
     kind,
+    rot: jax.Array | None = None,  # [d, d] OPQ rotation (model space)
 ) -> tuple[jax.Array, jax.Array]:
     """Fused IVFPQ ingest: coarse assignment + residual + PQ encode in ONE
     device call, so bulk add uploads each vector exactly once (the split
     host path re-uploaded the full residual matrix — 512 MB at 1M x 128 —
     through the ~45 MB/s tunnel). Matches find_nearest_centroid +
     host-residual + pq_encode bit-for-bit (same ops, same order).
+    With `rot` (OPQ), the chunk is rotated into model coordinates first —
+    one extra [B, d] x [d, d] matmul fused into the same dispatch.
     Returns (assign [B] i32, codes [B, M] i32)."""
-    from comet_tpu.ops.distance import pairwise_scores
+    from comet_tpu.ops.distance import DEFAULT_PRECISION, pairwise_scores
 
+    if rot is not None:
+        chunk = jnp.dot(chunk, rot, preferred_element_type=jnp.float32,
+                        precision=DEFAULT_PRECISION)
     dist = pairwise_scores(chunk, centroids, kind)
     assign = jnp.argmin(dist, axis=1).astype(jnp.int32)
     resid = chunk - centroids[assign]

@@ -183,3 +183,98 @@ def test_serialization_param_mismatch(rng):
     buf.seek(0)
     with pytest.raises(SerializationError):
         IVFPQIndex(16, DistanceKind.L2, nlist=8, m=4, nbits=4).read_from(buf)
+
+
+def test_refine_device_matches_host_refine(rng):
+    """The fused device re-rank (_refine_device, the TPU dense path's
+    nrefine) must order candidates identically to the host numpy _refine
+    for every metric, including sentinel padding and (score, slot) ties."""
+    import jax.numpy as jnp
+
+    from comet_tpu.indexes.ivfpq import _refine_device
+    from comet_tpu.ops.topk import IDX_SENTINEL
+
+    for kind in (DistanceKind.L2, DistanceKind.L2_SQUARED, DistanceKind.COSINE):
+        idx, data = trained_ivfpq(rng, n=300, store_originals=True)
+        idx._distance_kind = kind
+        from comet_tpu.ops.distance import preprocess
+
+        vecs = preprocess(data, kind)
+        idx._store.vectors[: len(vecs)] = vecs  # store in metric domain
+        idx._store.version += 1
+        q = preprocess(rng.normal(size=(6, 16)).astype(np.float32), kind)
+        slots = rng.integers(0, 300, size=(6, 32)).astype(np.int32)
+        slots[:, -3:] = int(IDX_SENTINEL)  # padding tail
+        slots[0, 1] = slots[0, 0]  # duplicate slot -> exact tie, slot break
+
+        host_s, host_i = idx._refine(q, np.zeros_like(slots, np.float32), slots, 10)
+        vd, sd, _ = idx._store.device_state()
+        dev_s, dev_i = _refine_device(jnp.asarray(q), jnp.asarray(slots),
+                                      vd, sd, 10, kind)
+        np.testing.assert_array_equal(np.asarray(dev_i), host_i)
+        np.testing.assert_allclose(np.asarray(dev_s), host_s, atol=1e-4)
+
+
+def test_opq_rotation_is_orthogonal_and_roundtrips(rng):
+    """OPQ extension: the learned rotation is orthogonal, search serves
+    original-coordinate queries (rotation fully internal), decode returns
+    user-space vectors, and serialization round-trips the rotation."""
+    # anisotropic data so the rotation has something to learn
+    n, dim = 600, 16
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    scalemat = np.diag(np.linspace(0.05, 3.0, dim).astype(np.float32))
+    mix = np.linalg.qr(rng.normal(size=(dim, dim)))[0].astype(np.float32)
+    data = base @ scalemat @ mix
+
+    idx = IVFPQIndex(dim, DistanceKind.L2, nlist=4, m=4, nbits=4,
+                     store_originals=True, opq=True, opq_iters=3)
+    idx.train(data)
+    assert idx._rot is not None
+    np.testing.assert_allclose(idx._rot @ idx._rot.T, np.eye(dim), atol=1e-4)
+    ids = idx.add_batch(data, ids=list(range(1, n + 1)))
+    assert len(ids) == n
+
+    # decode returns user-space reconstructions (close to the original)
+    rec = idx._decode(idx._store.id_to_slot[1])
+    assert np.linalg.norm(rec - data[0]) < np.linalg.norm(data[0])
+
+    # search works end-to-end and nrefine stays exact in user space
+    res = (
+        idx.new_search().with_query(data[3]).with_k(5).with_nprobes(4)
+        .with_nrefine(50).execute()
+    )
+    assert res[0].node.id == 4
+    true_d = np.linalg.norm(data[3] - data[res[0].node.id - 1])
+    assert res[0].score == pytest.approx(true_d, abs=1e-4)
+
+    import io as _io
+
+    buf = _io.BytesIO()
+    idx.write_to(buf)
+    buf.seek(0)
+    idx2 = IVFPQIndex(dim, DistanceKind.L2, nlist=4, m=4, nbits=4)
+    idx2.read_from(buf)
+    np.testing.assert_array_equal(idx2._rot, idx._rot)
+    r1 = idx.new_search().with_query(data[7]).with_k(5).execute()
+    r2 = idx2.new_search().with_query(data[7]).with_k(5).execute()
+    assert [r.node.id for r in r1] == [r.node.id for r in r2]
+
+
+def test_opq_improves_quantization_error(rng):
+    """On anisotropic data the OPQ rotation must not increase (and should
+    visibly reduce) total squared reconstruction error vs plain PQ split."""
+    n, dim = 800, 16
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    scalemat = np.diag(np.linspace(0.05, 3.0, dim).astype(np.float32))
+    mix = np.linalg.qr(rng.normal(size=(dim, dim)))[0].astype(np.float32)
+    data = (base @ scalemat @ mix).astype(np.float32)
+
+    def recon_err(opq):
+        idx = IVFPQIndex(dim, DistanceKind.L2, nlist=4, m=4, nbits=4,
+                         opq=opq, opq_iters=4)
+        idx.train(data)
+        idx.add_batch(data, ids=list(range(1, n + 1)))
+        rec = np.stack([idx._decode(s) for s in range(n)])
+        return float(((rec - data) ** 2).sum())
+
+    assert recon_err(True) < recon_err(False) * 0.9
