@@ -39,36 +39,46 @@ def next_pow2(x: int, minimum: int = 1) -> int:
     return 1 << (v - 1).bit_length()
 
 
-def upload_f32_exact(vecs_np: np.ndarray) -> jnp.ndarray:
-    """Upload a float32 matrix to HBM, using a narrow EXACT wire format
-    when one exists.
+def narrow_wire(vecs_np: np.ndarray) -> np.ndarray:
+    """Narrow EXACT wire format for a float32 matrix, when one exists.
 
-    The tunnel is byte-bound (~45 MB/s; BENCHMARKS.md footnote 1), and the
-    classic vector-search corpora are integer-valued (SIFT descriptors are
-    0..255 gradient counts — siftgen reproduces this), so a f32 corpus
-    whose values are all integers in int8/int16 range crosses the wire at
-    1/4 or 1/2 the bytes and casts back to f32 on device BIT-EXACTLY
-    (integers up to 2^15 are exact in f32). Non-integral corpora (e.g.
-    cosine-normalized) upload as plain f32. The integrality check runs on
-    a 4096-row sample first so float corpora pay ~nothing."""
-    import jax
-
+    The tunnel is byte-bound (~10-45 MB/s depending on the hour;
+    BENCHMARKS.md footnote 1), and the classic vector-search corpora are
+    integer-valued (SIFT descriptors are 0..255 gradient counts — siftgen
+    reproduces this), so a f32 corpus whose values are all integers in
+    uint8/int8/int16 range crosses the wire at 1/4 or 1/2 the bytes and
+    casts back to f32 on device BIT-EXACTLY (integers up to 2^15 are exact
+    in f32). Non-integral corpora (e.g. cosine-normalized) keep f32. The
+    integrality check runs on a 4096-row sample first so float corpora pay
+    ~nothing. Returns the narrow array, or `vecs_np` unchanged."""
     n = vecs_np.shape[0]
     if n and vecs_np.dtype == np.float32:
         sample = vecs_np[: min(n, 4096)]
         if np.array_equal(np.rint(sample), sample) and np.array_equal(
             np.rint(vecs_np), vecs_np
         ):
-            amax = float(np.abs(vecs_np).max()) if vecs_np.size else 0.0
+            amin = float(vecs_np.min()) if vecs_np.size else 0.0
+            amax = float(vecs_np.max()) if vecs_np.size else 0.0
             wire_dtype = (
-                np.int8 if amax <= 127.0
-                else np.int16 if amax <= 32767.0
+                np.uint8 if 0.0 <= amin and amax <= 255.0   # SIFT bytes
+                else np.int8 if -128.0 <= amin and amax <= 127.0
+                else np.int16 if -32768.0 <= amin and amax <= 32767.0
                 else None
             )
             if wire_dtype is not None:
-                wire = jnp.asarray(vecs_np.astype(wire_dtype))
-                return jax.jit(lambda w: w.astype(jnp.float32))(wire)
-    return jnp.asarray(vecs_np)
+                return vecs_np.astype(wire_dtype)
+    return vecs_np
+
+
+def upload_f32_exact(vecs_np: np.ndarray) -> jnp.ndarray:
+    """Upload a float32 matrix to HBM via the narrowest exact wire format
+    (see `narrow_wire`), casting back to f32 on device."""
+    import jax
+
+    wire = narrow_wire(vecs_np)
+    if wire.dtype == np.float32:
+        return jnp.asarray(wire)
+    return jax.jit(lambda w: w.astype(jnp.float32))(jnp.asarray(wire))
 
 
 class SlotStore:

@@ -169,13 +169,19 @@ class PQIndex(BaseVectorIndex):
         # is collected, so uploads overlap device compute (ops/adc.py).
         from comet_tpu.ops.adc import stream_device_map
 
+        from comet_tpu.indexes.base import narrow_wire
+
         cb_dev = jnp.asarray(self._codebooks)
         m = self._m
 
         def encode_chunk(chunk):
+            if chunk.dtype != jnp.float32:
+                chunk = chunk.astype(jnp.float32)  # exact narrow-wire cast
             return pq_encode(chunk.reshape(chunk.shape[0], m, -1), cb_dev)
 
-        codes = stream_device_map(encode_chunk, prepped, chunk_rows=1 << 17)
+        codes = stream_device_map(
+            encode_chunk, narrow_wire(prepped), chunk_rows=1 << 17
+        )
         with self._lock:
             for i in id_arr.tolist():
                 if self._store.contains(i):

@@ -73,6 +73,8 @@ def ivfpq_assign_encode(
     Returns (assign [B] i32, codes [B, M] i32)."""
     from comet_tpu.ops.distance import DEFAULT_PRECISION, pairwise_scores
 
+    if chunk.dtype != jnp.float32:
+        chunk = chunk.astype(jnp.float32)  # exact narrow-wire cast
     if rot is not None:
         chunk = jnp.dot(chunk, rot, preferred_element_type=jnp.float32,
                         precision=DEFAULT_PRECISION)

@@ -115,7 +115,9 @@ class BulkGraphBuilder:
             grown = np.zeros((pad, vectors.shape[1]), np.float32)
             grown[: self.n] = vectors[: self.n]
             vectors = grown
-        dev_vecs = jnp.asarray(vectors)
+        from comet_tpu.indexes.base import upload_f32_exact
+
+        dev_vecs = upload_f32_exact(vectors)
         sqn = jnp.sum(dev_vecs * dev_vecs, axis=1)
         corpus_t = jax.jit(jnp.transpose)(dev_vecs)
         self.dev = (dev_vecs, sqn, corpus_t)

@@ -324,6 +324,8 @@ def _subspace_loop(x_dev, valid_dev, codebooks, tile, max_iter):
 
 @partial(jax.jit, static_argnames=("kind",))
 def _nearest_centroid(vectors: jax.Array, centroids: jax.Array, kind: DistanceKind):
+    if vectors.dtype != jnp.float32:
+        vectors = vectors.astype(jnp.float32)  # exact narrow-wire cast
     dist = pairwise_scores(vectors, centroids, kind)
     return jnp.argmin(dist, axis=1).astype(jnp.int32), jnp.min(dist, axis=1)
 
@@ -333,7 +335,14 @@ def find_nearest_centroid(
     centroids: np.ndarray,
     kind: DistanceKind = DistanceKind.L2_SQUARED,
 ) -> np.ndarray:
-    """Index of the nearest centroid per vector (clustering.go:259-272)."""
+    """Index of the nearest centroid per vector (clustering.go:259-272).
+    Integer-valued inputs cross the tunnel in their narrow exact wire form
+    (indexes/base.narrow_wire)."""
+    from comet_tpu.indexes.base import narrow_wire
+
     v = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
-    idx, _ = _nearest_centroid(jnp.asarray(v), jnp.asarray(centroids, dtype=jnp.float32), kind)
+    idx, _ = _nearest_centroid(
+        jnp.asarray(narrow_wire(v)),
+        jnp.asarray(centroids, dtype=jnp.float32), kind,
+    )
     return np.asarray(idx).astype(np.int64)
