@@ -37,8 +37,17 @@ GT = None   # ground-truth neighbor ids [BATCH, >=100] when a real dataset
             # provides them (SIFT1M .ivecs); else flat-oracle truth
 
 
+_LOG_FILE = None
+
+
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+    global _LOG_FILE
+    if _LOG_FILE is None and os.environ.get("COMET_BENCH_LOG"):
+        _LOG_FILE = open(os.environ["COMET_BENCH_LOG"], "a", buffering=1)
+        _LOG_FILE.write(f"# bench session {time.strftime('%Y-%m-%d %H:%M:%S')}\n")
+    if _LOG_FILE is not None:
+        _LOG_FILE.write(msg + "\n")
 
 
 def gen_data(n=N, dim=DIM, seed=0):
@@ -124,6 +133,24 @@ def time_search(idx, queries, k, rounds=ROUNDS, **kw):
     return qps, ids
 
 
+def log_mem(tag, idx, results=None):
+    """Exact per-structure memory (stats()['memory']) -> the sweep log;
+    the 'equal memory' clause of BASELINE.json is checked against these
+    rows (reference numbers: docs/INDEX.md:1977-1990, 3984-3991)."""
+    m = idx.stats().get("memory")
+    if not m:
+        return
+    top_h = sorted(m["host"].items(), key=lambda kv: -kv[1])[:3]
+    top_d = sorted(m["device"].items(), key=lambda kv: -kv[1])[:3]
+    log(f"{tag} memory: host {m['host_total'] / 1e6:,.1f} MB "
+        f"{[(k, round(v / 1e6, 1)) for k, v in top_h]}, "
+        f"device {m['device_total'] / 1e6:,.1f} MB "
+        f"{[(k, round(v / 1e6, 1)) for k, v in top_d]}")
+    if results is not None:
+        results[f"{tag}_mem_host_mb"] = (m["host_total"] / 1e6, None)
+        results[f"{tag}_mem_device_mb"] = (m["device_total"] / 1e6, None)
+
+
 def recall(found_ids, true_ids):
     hits = sum(
         len(set(f.tolist()) & set(t.tolist())) for f, t in zip(found_ids, true_ids)
@@ -140,8 +167,12 @@ def bench_flat(corpus, queries, storage="float32", samples=1):
     idx.add_batch(corpus, ids=IDS)
     log(f"flat[{storage}] add_batch(1M): {time.perf_counter() - t0:.2f}s")
     runs = []
+    first = True
     for _ in range(samples):
         qps, ids = time_search(idx, queries, K)
+        if first:
+            log_mem(f"flat[{storage}]", idx)
+            first = False
         runs.append(qps)
     runs.sort()
     qps = runs[len(runs) // 2]
@@ -210,6 +241,7 @@ def bench_all(corpus, queries, truth_ids, truth100=None):
     for nprobe in (1, 5, 10, 20, 32):
         qps, ids = time_search(idx, queries, K, nprobes=nprobe)
         report(f"ivf_nprobe{nprobe}", qps, ids)
+    log_mem("ivf", idx, results)
     del idx
 
     # PQ m=16 nbits=8 (baseline: train 3.2s, add 24.5s, 122 QPS / 91.3%@100)
@@ -223,6 +255,7 @@ def bench_all(corpus, queries, truth_ids, truth100=None):
     log(f"pq train(100k): {t_train:.2f}s  add(1M): {t_add:.2f}s")
     qps, ids = time_search(idx, queries, K)
     report("pq_m16", qps, ids)
+    log_mem("pq", idx, results)
     del idx
 
     # IVFPQ nlist=1024 m=16 (baseline: 312 QPS / 89.7%@100 at nprobe=10);
@@ -249,6 +282,37 @@ def bench_all(corpus, queries, truth_ids, truth100=None):
     try:
         qps, ids = time_search(idx, queries, K, nprobes=10, nrefine=256)
         report("ivfpq_nprobe10_nrefine256", qps, ids)
+    finally:
+        os.environ.pop("COMET_IVF_SPARSE", None)
+    log_mem("ivfpq", idx, results)
+    del idx
+
+    # OPQ + device-fused nrefine: the recall@10 x QPS operating point
+    # (VERDICT r4 #2; target >=0.95 recall@10 at >=10k QPS). OPQ is an
+    # extension like nrefine: the reference has neither.
+    idx = IVFPQIndex(
+        DIM, DistanceKind.L2, nlist=1024, m=16, nbits=8,
+        store_originals=True, opq=True,
+    )
+    t0 = time.perf_counter()
+    idx.train(corpus[:100_000])
+    t_train = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    idx.add_batch(corpus, ids=IDS)
+    t_add = time.perf_counter() - t0
+    log(f"ivfpq-opq train(100k): {t_train:.2f}s  add(1M): {t_add:.2f}s")
+    os.environ["COMET_IVF_SPARSE"] = "0"
+    try:
+        qps, ids = time_search(idx, queries, K, nprobes=10)
+        report("ivfpq_opq_nprobe10", qps, ids)
+        for nprobe, nref in ((16, 256), (32, 256), (32, 512)):
+            qps, ids = time_search(
+                idx, queries, 10, nprobes=nprobe, nrefine=nref
+            )
+            r10 = recall(ids[:, :10], truth10)
+            log(f"ivfpq_opq nprobe={nprobe} nrefine={nref} k=10: "
+                f"{qps:.1f} QPS, recall@10={r10:.3f}")
+            results[f"ivfpq_opq_np{nprobe}_nr{nref}"] = (qps, r10, None)
     finally:
         os.environ.pop("COMET_IVF_SPARSE", None)
     del idx
@@ -289,6 +353,7 @@ def bench_all(corpus, queries, truth_ids, truth100=None):
         results[f"hnsw_{tag}"] = (qps, r10, r100)
     idx.config.seed_search = True
     idx.config.search_iters = 0
+    log_mem("hnsw200k", idx, results)
     del idx, oracle
 
     if os.environ.get("COMET_BENCH_HNSW_1M"):

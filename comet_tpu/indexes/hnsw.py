@@ -148,7 +148,15 @@ class HNSWConfig:
     ~4x at equal recall. seed_nprobe=0 derives nlist/64 (min 2).
     seed_stop sets the seeded k-window width (0 = max(2*k_pad, 64), capped
     at ef_pad): widening it trades iterations for recall headroom when k
-    is close to the window."""
+    is close to the window.
+
+    seed_width caps how many beam rows the probe scan SEEDS, decoupled
+    from the stop window (0 = width = stop). The probe scan's top-k cost
+    jumps at kb > 128 (its 256-row bitonic costs more than the beam loop,
+    ops/pallas_scan notes), while the stop window only needs to be wide
+    for TERMINATION headroom — seeding 128 rows under a 256-row window
+    keeps the scan on the cheap path and lets beam expansion fill rows
+    128+."""
 
     m: int = 16
     ef_construction: int = 200
@@ -157,6 +165,7 @@ class HNSWConfig:
     seed_search: bool = True
     seed_nprobe: int = 0
     seed_stop: int = 0
+    seed_width: int = 0
 
 
 class HNSWIndex(BaseVectorIndex):
@@ -1143,6 +1152,7 @@ class HNSWIndex(BaseVectorIndex):
             # at 0.93 while 2*k reaches 0.96 at ~25% fewer QPS (sweep in
             # benchmarks/hnsw_1m_r4.log) — seed_stop overrides either way.
             stop = min(self._cfg.seed_stop or max(2 * k_pad, 64), ef_pad)
+            seed_k = min(self._cfg.seed_width or stop, stop)
             max_iters = self._cfg.search_iters or max(
                 (2 * stop) // PALLAS_EXPAND // 2, 12
             )
@@ -1161,7 +1171,7 @@ class HNSWIndex(BaseVectorIndex):
                 grown[: qc.shape[0]] = qc
                 qc = grown
             if seeded:
-                seeds = self._seed_scan(qc, stop)
+                seeds = self._seed_scan(qc, seed_k)
                 # entry slot = probe-starvation fallback (beam_kernel
                 # _search_init injects it where the seed row is empty)
                 entries = np.full(

@@ -1,0 +1,118 @@
+"""1M HNSW experiment rig: build-or-load a cached fixture (siftgen corpus,
+exact oracle truth, bulk-built graph) and sweep search operating points.
+
+The 1M corpus is the discriminating scale for seeded-beam tuning (200k
+saturates recall at 1.0), but corpus gen + oracle + build cost ~10 min —
+this rig pays them once per round and caches under /tmp.
+
+Usage:
+  python scripts/hnsw1m_rig.py build            # make the fixture
+  python scripts/hnsw1m_rig.py sweep SPEC...    # run operating points
+where SPEC is comma-separated key=val: mode=seeded|classic, iters=N,
+ef=N, stop=N (seed_stop), nprobe=N (seed_nprobe), fuse=0|1.
+Example:
+  python scripts/hnsw1m_rig.py sweep mode=seeded,iters=0 \
+      mode=seeded,iters=0,stop=192 mode=seeded,iters=0,nprobe=128
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402  (sets the persistent XLA cache dir)
+import numpy as np  # noqa: E402
+
+FIX = "/tmp/hnsw1m_fixture.npz"
+GRAPH = "/tmp/hnsw1m_graph.bin"
+
+
+def build():
+    from comet_tpu.indexes.flat import FlatIndex
+    from comet_tpu.indexes.hnsw import HNSWConfig, HNSWIndex
+    from comet_tpu.types import DistanceKind
+
+    corpus, queries, _ = bench.load_data()
+    n = bench.N
+    ids = np.arange(1, n + 1, dtype=np.uint32)
+    bench.log("building exact oracle (flat 1M)...")
+    oracle = FlatIndex(bench.DIM, DistanceKind.L2)
+    oracle.add_batch(corpus, ids=ids)
+    truth, _ = oracle.search_batch(queries, k=100)
+    del oracle
+    np.savez(
+        FIX, corpus=corpus.astype(np.uint8), queries=queries, truth=truth
+    )
+    bench.log(f"fixture saved: {FIX}")
+
+    idx = HNSWIndex(
+        bench.DIM, DistanceKind.L2,
+        HNSWConfig(m=16, ef_construction=128, ef_search=128),
+    )
+    t0 = time.perf_counter()
+    idx.add_batch(corpus, ids=ids)
+    t_build = time.perf_counter() - t0
+    bench.log(f"hnsw build(1M): {t_build:.1f}s ({n / t_build:.0f} vec/s)")
+    with open(GRAPH, "wb") as f:
+        idx.write_to(f)
+    bench.log(f"graph saved: {GRAPH}")
+    print(json.dumps({"metric": "hnsw_1m_build_s", "value": round(t_build, 1)}))
+
+
+def load():
+    from comet_tpu.indexes.hnsw import HNSWIndex
+    from comet_tpu.types import DistanceKind
+
+    from comet_tpu.indexes.hnsw import HNSWConfig
+
+    z = np.load(FIX)
+    corpus = z["corpus"].astype(np.float32)
+    queries, truth = z["queries"], z["truth"]
+    idx = HNSWIndex(
+        128, DistanceKind.L2,
+        HNSWConfig(m=16, ef_construction=128, ef_search=128),
+    )
+    t0 = time.perf_counter()
+    with open(GRAPH, "rb") as f:
+        idx.read_from(f)
+    bench.log(f"graph loaded in {time.perf_counter() - t0:.1f}s")
+    return idx, corpus, queries, truth
+
+
+def run_spec(idx, queries, truth, spec: str):
+    kv = dict(item.split("=") for item in spec.split(",") if "=" in item)
+    mode = kv.get("mode", "seeded")
+    idx.config.seed_search = mode == "seeded"
+    idx.config.search_iters = int(kv.get("iters", 0))
+    idx.config.seed_stop = int(kv.get("stop", 0))
+    idx.config.seed_nprobe = int(kv.get("nprobe", 0))
+    idx.config.seed_width = int(kv.get("width", 0))
+    ef = int(kv.get("ef", 256))
+    os.environ["COMET_HNSW_FUSE"] = kv.get("fuse", "0")
+    t0 = time.perf_counter()
+    qps, found = bench.time_search(idx, queries, 100, ef_search=ef)
+    r10 = bench.recall(found[:, :10], truth[:, :10])
+    r100 = bench.recall(found[:, :100], truth)
+    bench.log(
+        f"[{spec}] {qps:.1f} QPS, recall@10={r10:.3f}, recall@100={r100:.3f}"
+        f" (wall {time.perf_counter() - t0:.0f}s)"
+    )
+    print(json.dumps({"spec": spec, "qps": round(qps, 1),
+                      "recall_at_10": round(r10, 4),
+                      "recall_at_100": round(r100, 4)}), flush=True)
+
+
+def main():
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "build"
+    if cmd == "build":
+        build()
+        return
+    idx, corpus, queries, truth = load()
+    for spec in sys.argv[2:]:
+        run_spec(idx, queries, truth, spec)
+
+
+if __name__ == "__main__":
+    main()
