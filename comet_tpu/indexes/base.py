@@ -208,6 +208,9 @@ class VectorSearchBuilder:
         self._nprobes: int | None = None
         self._ef_search: int | None = None
         self._nrefine: int | None = None
+        # batch-API wire control: False skips the score download (the
+        # result wire is the tunnel-serving bottleneck at k=100)
+        self._wire_scores = True
 
     # builder knobs --------------------------------------------------------
 
@@ -344,6 +347,7 @@ class BaseVectorIndex:
         aggregation=None,
         cutoff: int = -1,
         group_size: int = 1,
+        wire_scores: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
         """TPU-native throughput API: many independent queries in one step.
 
@@ -364,8 +368,14 @@ class BaseVectorIndex:
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         self._check_dim(queries)
         builder = self._make_batch_builder(
-            k, threshold, document_ids, nprobes, ef_search, nrefine
+            k, threshold, document_ids, nprobes, ef_search, nrefine,
+            wire_scores=wire_scores,
         )
+        if not wire_scores and (cutoff != -1 or group_size > 1):
+            raise InvalidConfigError(
+                "wire_scores=False cannot combine with cutoff/aggregation "
+                "post-steps (they need the scores on host)"
+            )
         with self._lock:
             ids, scores = self._search_batch(queries, builder)
         if ids.shape[1] > k:
@@ -390,6 +400,7 @@ class BaseVectorIndex:
         aggregation=None,
         cutoff: int = -1,
         group_size: int = 1,
+        wire_scores: bool = True,
     ):
         """Pipelined bulk search: yields (ids, scores) per input batch.
 
@@ -403,8 +414,14 @@ class BaseVectorIndex:
         from collections import deque
 
         builder = self._make_batch_builder(
-            k, threshold, document_ids, nprobes, ef_search, nrefine
+            k, threshold, document_ids, nprobes, ef_search, nrefine,
+            wire_scores=wire_scores,
         )
+        if not wire_scores and (cutoff != -1 or group_size > 1):
+            raise InvalidConfigError(
+                "wire_scores=False cannot combine with cutoff/aggregation "
+                "post-steps (they need the scores on host)"
+            )
         pending: deque = deque()
 
         def collect():
@@ -428,11 +445,13 @@ class BaseVectorIndex:
             yield collect()
 
     def _make_batch_builder(
-        self, k, threshold, document_ids, nprobes, ef_search, nrefine=None
+        self, k, threshold, document_ids, nprobes, ef_search, nrefine=None,
+        wire_scores=True,
     ) -> "VectorSearchBuilder":
         from comet_tpu.ops.bitset import Bitset
 
         builder = VectorSearchBuilder(self)
+        builder._wire_scores = bool(wire_scores)
         builder._k = int(k)
         builder._threshold = float(threshold)
         if document_ids is None or isinstance(document_ids, Bitset):
@@ -614,9 +633,13 @@ def collect_device_handle(handle):
         )
     if kind == "dev":
         _, s, i, q_real, k_eff, ids_snap = handle
-        scores, slots_np = jax.device_get((s, i))
-        scores = scores[:q_real, :k_eff]
-        slots_np = slots_np[:q_real, :k_eff]
+        if s is None:  # wire_scores=False: ids-only download
+            slots_np = np.asarray(jax.device_get(i))[:q_real, :k_eff]
+            scores = np.zeros(slots_np.shape, dtype=np.float32)
+        else:
+            scores, slots_np = jax.device_get((s, i))
+            scores = scores[:q_real, :k_eff]
+            slots_np = slots_np[:q_real, :k_eff]
     else:
         _, chunks, q_real, k_eff, ids_snap = handle
         chunks = jax.device_get(chunks)

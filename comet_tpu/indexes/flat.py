@@ -32,6 +32,7 @@ from comet_tpu.indexes.base import (
     VectorSearchBuilder,
     next_pow2,
     pad_queries,
+    upload_f32_exact,
     threshold_scalar,
 )
 from comet_tpu.io import serial
@@ -346,7 +347,7 @@ class FlatIndex(BaseVectorIndex):
             rows = -(-qpad.shape[0] // P_TQ) * P_TQ
             corpus_t = self._device_corpus_t(vecs)
             s, i = _flat_fused_dispatch(
-                jnp.asarray(qpad), corpus_t, mask_or_base, thr_k,
+                upload_f32_exact(qpad), corpus_t, mask_or_base, thr_k,
                 words32, ids_dev, valid_dev,
                 rows=rows, q_out=qpad.shape[0], k_pad=k_pad,
                 cosine=cosine,
@@ -367,12 +368,15 @@ class FlatIndex(BaseVectorIndex):
                 s, i = s[:q_real, :k_keep], i[:q_real, :k_keep]
             # start the host copies now so a pipelined caller's next batch
             # computes while these results stream back over the tunnel
+            wire_scores = builder._wire_scores or rerank
             try:
-                s.copy_to_host_async()
+                if wire_scores:
+                    s.copy_to_host_async()
                 i.copy_to_host_async()
             except AttributeError:  # pragma: no cover - non-jax.Array impls
                 pass
-            handle = ("dev", s, i, q_real, k_keep, store.ids)
+            handle = ("dev", s if wire_scores else None, i, q_real, k_keep,
+                      store.ids)
             if rerank:
                 return ("rerank", handle, qprep, k_eff, builder._threshold)
             return handle
@@ -383,7 +387,7 @@ class FlatIndex(BaseVectorIndex):
         scale = self._dev_scale if self._storage == "int8" else None
         chunks = []
         for q0 in range(0, qpad.shape[0], QUERY_CHUNK):
-            qc = jnp.asarray(qpad[q0 : q0 + QUERY_CHUNK])
+            qc = upload_f32_exact(qpad[q0 : q0 + QUERY_CHUNK])
             chunks.append(
                 block_topk(
                     qc, vecs, sqnorms, valid, thr,

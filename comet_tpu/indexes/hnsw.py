@@ -45,6 +45,7 @@ from comet_tpu.indexes.base import (
     next_pow2,
     pad_queries,
     threshold_scalar,
+    upload_f32_exact,
 )
 from comet_tpu.io import serial
 from comet_tpu.ops.distance import preprocess
@@ -728,7 +729,7 @@ class HNSWIndex(BaseVectorIndex):
         if self._dev_l1 is None:
             return np.full(len(qc), self._entry_slot, dtype=np.int32)
         vecs_t, sqn, slots = self._dev_l1
-        return nearest_entry(jnp.asarray(qc), vecs_t, sqn, slots)
+        return nearest_entry(upload_f32_exact(qc), vecs_t, sqn, slots)
 
     def _ensure_level(self, level: int) -> None:
         if level not in self._upper:
@@ -885,7 +886,8 @@ class HNSWIndex(BaseVectorIndex):
 
         if self._dev_nbr_vecs is not None:
             chunks = self._pallas_launch(
-                qpad, allowed, builder._threshold, ef_pad, k_pad, fused, k_eff
+                qpad, allowed, builder._threshold, ef_pad, k_pad, fused,
+                k_eff, wire_scores=builder._wire_scores,
             )
             pallas = True
         else:
@@ -895,7 +897,7 @@ class HNSWIndex(BaseVectorIndex):
                 entries = self._descend(qc)
                 chunks.append(
                     beam_search_layer0(
-                        jnp.asarray(qc),
+                        upload_f32_exact(qc),
                         jnp.asarray(entries),
                         self._dev_adj0,
                         self._dev_vectors,
@@ -923,11 +925,17 @@ class HNSWIndex(BaseVectorIndex):
                 np.zeros((q_in, 0), dtype=np.float32),
             )
         _, chunks, q_real, k_eff, pallas, ids_arr = handle
-        chunks = jax.device_get(chunks)
-        scores = np.concatenate([s for s, _ in chunks])
-        slots_np = np.concatenate([i for _, i in chunks])
-        if pallas:
-            scores = self._from_sq(scores)
+        if chunks and chunks[0][0] is None:  # wire_scores=False
+            slots_np = np.concatenate(
+                [np.asarray(jax.device_get(i)) for _, i in chunks]
+            )
+            scores = np.zeros(slots_np.shape, dtype=np.float32)
+        else:
+            chunks = jax.device_get(chunks)
+            scores = np.concatenate([s for s, _ in chunks])
+            slots_np = np.concatenate([i for _, i in chunks])
+            if pallas:
+                scores = self._from_sq(scores)
 
         scores = scores[:q_real, :k_eff]
         slots_np = slots_np[:q_real, :k_eff]
@@ -1115,7 +1123,7 @@ class HNSWIndex(BaseVectorIndex):
             nprobe, st["nlist"], st["nch_total"], st["max_chunks"]
         )
         sd, ss, _overflow = sp.ivf_sparse_pipeline(
-            jnp.asarray(qc), st["corpus_t"], st["mask_vec"], st["row_slot"],
+            upload_f32_exact(qc), st["corpus_t"], st["mask_vec"], st["row_slot"],
             jnp.asarray(np.float32(np.inf)), st["centroids"],
             st["order_key"], st["chunk_start"], st["nchunks"],
             k=ef_pad, nprobe=nprobe, S=S, UC=UC, MC=MC, nlist=st["nlist"],
@@ -1135,7 +1143,7 @@ class HNSWIndex(BaseVectorIndex):
         return self._store.n >= SEED_MIN_N or env == "1"
 
     def _pallas_launch(self, qpad, allowed, threshold, ef_pad, k_pad, fused,
-                       k_eff):
+                       k_eff, wire_scores=True):
         """Fused-kernel path (ops/beam_kernel.py): blocked bf16 routing,
         exact f32 rerank, squared-space thresholds. Returns the per-chunk
         IN-FLIGHT device (scores, slots) pairs (squared-distance domain —
@@ -1181,7 +1189,7 @@ class HNSWIndex(BaseVectorIndex):
                 seeds = None
                 entries = self._descend_for_search(qc)
             sd, ss = beam_search_blocked(
-                jnp.asarray(qc),
+                upload_f32_exact(qc),
                 jnp.asarray(entries),
                 self._dev_nbr_vecs,
                 self._dev_aux,
@@ -1205,11 +1213,12 @@ class HNSWIndex(BaseVectorIndex):
             if k_eff < sd.shape[1]:
                 sd, ss = sd[:, :k_eff], ss[:, :k_eff]
             try:
-                sd.copy_to_host_async()
+                if wire_scores:
+                    sd.copy_to_host_async()
                 ss.copy_to_host_async()
             except AttributeError:  # pragma: no cover
                 pass
-            chunks.append((sd, ss))
+            chunks.append((sd if wire_scores else None, ss))
         return chunks
 
     # -- serialization ----------------------------------------------------------

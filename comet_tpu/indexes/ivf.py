@@ -38,6 +38,7 @@ from comet_tpu.indexes.base import (
     VectorSearchBuilder,
     next_pow2,
     pad_queries,
+    upload_f32_exact,
     threshold_scalar,
 )
 from comet_tpu.io import serial
@@ -454,7 +455,7 @@ class IVFIndex(BaseVectorIndex):
         S = min(S, S_max)
         UC = min(S, self._nlist)
         s, i, overflow = sp.ivf_sparse_pipeline(
-            jnp.asarray(qpad), st["corpus_t"], mask_vec, st["row_slot"],
+            upload_f32_exact(qpad), st["corpus_t"], mask_vec, st["row_slot"],
             thr_k, jnp.asarray(self._centroids), self._order_key,
             st["chunk_start"], st["nchunks"],
             k=k_pad, nprobe=nprobe, S=S, UC=UC, MC=MC, nlist=self._nlist,
@@ -574,7 +575,7 @@ class IVFIndex(BaseVectorIndex):
                 qpad = grown
             corpus_t, assign_dev = self._device_dense()
             s, i = ivf_topk_pipeline(
-                jnp.asarray(qpad), corpus_t, mask_vec, thr_k,
+                upload_f32_exact(qpad), corpus_t, mask_vec, thr_k,
                 jnp.asarray(self._centroids), assign_dev,
                 k_pad, nprobe,
                 coarse_cosine=cosine, cosine=cosine,
@@ -591,7 +592,7 @@ class IVFIndex(BaseVectorIndex):
         max_steps = next_pow2(nprobe * max_chunks, 4)
         chunks = []
         for q0 in range(0, qpad.shape[0], IVF_QUERY_CHUNK):
-            qc = jnp.asarray(qpad[q0 : q0 + IVF_QUERY_CHUNK])
+            qc = upload_f32_exact(qpad[q0 : q0 + IVF_QUERY_CHUNK])
             chunks.append(
                 _ivf_search_kernel(
                     qc, centroids, chunk_slots, chunk_start, vecs, sqnorms,

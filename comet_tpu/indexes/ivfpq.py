@@ -41,6 +41,7 @@ from comet_tpu.indexes.base import (
     VectorSearchBuilder,
     next_pow2,
     pad_queries,
+    upload_f32_exact,
     threshold_scalar,
 )
 from comet_tpu.io import serial
@@ -580,8 +581,9 @@ class IVFPQIndex(BaseVectorIndex):
                 )
                 grown[: qpad.shape[0]] = qpad
                 qpad = grown
+            qdev = upload_f32_exact(qpad)
             s, i = ivf_topk_pipeline(
-                jnp.asarray(qpad), rec_t, mask_vec, thr * thr,
+                qdev, rec_t, mask_vec, thr * thr,
                 jnp.asarray(self._centroids), assign_dev,
                 k_pad, nprobe,
                 coarse_cosine=self._distance_kind == DistanceKind.COSINE,
@@ -593,7 +595,7 @@ class IVFPQIndex(BaseVectorIndex):
                 # the wide candidate block (VERDICT r4 #2)
                 vecs_dev, sqn_dev, _valid_dev = store.device_state()
                 s, i = _refine_device(
-                    jnp.asarray(qpad), i[:, :take], vecs_dev, sqn_dev,
+                    qdev, i[:, :take], vecs_dev, sqn_dev,
                     k_eff, self._distance_kind,
                 )
                 take, nrefine = k_eff, 0
@@ -615,7 +617,7 @@ class IVFPQIndex(BaseVectorIndex):
         max_steps = next_pow2(nprobe * max_chunks, 4)
         chunks = []
         for q0 in range(0, qpad.shape[0], IVFPQ_QUERY_CHUNK):
-            qc = jnp.asarray(qpad[q0 : q0 + IVFPQ_QUERY_CHUNK])
+            qc = upload_f32_exact(qpad[q0 : q0 + IVFPQ_QUERY_CHUNK])
             chunks.append(
                 _ivfpq_search_kernel(
                     qc, centroids, codebooks, chunk_slots, chunk_start, codes,

@@ -34,6 +34,7 @@ from comet_tpu.indexes.base import (
     VectorSearchBuilder,
     next_pow2,
     pad_queries,
+    upload_f32_exact,
     threshold_scalar,
 )
 from comet_tpu.io import serial
@@ -312,7 +313,7 @@ class PQIndex(BaseVectorIndex):
                 grown[: qpad.shape[0]] = qpad
                 qpad = grown
             s, i = flat_topk_pipeline(
-                jnp.asarray(qpad), rec_t, mask_vec, thr * thr, k_pad,
+                upload_f32_exact(qpad), rec_t, mask_vec, thr * thr, k_pad,
                 cosine=False, sqrt_out=True,
             )
             try:

@@ -104,12 +104,75 @@ def run_spec(idx, queries, truth, spec: str):
                       "recall_at_100": round(r100, 4)}), flush=True)
 
 
+def profile(idx, queries):
+    """Per-phase wall breakdown of one seeded 2048-query batch: seed scan,
+    beam loop at several fixed iteration counts (slope = per-iteration
+    cost, intercept = in-jit fixed cost), and the end-to-end batch
+    (adds host glue + finalize + transfers)."""
+    import jax
+    import jax.numpy as jnp
+
+    import numpy as np
+
+    qc = queries[:2048].astype(np.float32)
+    idx.config.seed_search = True
+    idx.config.search_iters = 0
+    # warm everything (seed tables, compiles)
+    idx.search_batch(qc[:2048], k=100, ef_search=256)
+
+    def sync(x):
+        np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0]).ravel()[:1])
+
+    def t(tag, fn, reps=8):
+        out = fn()
+        sync(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        sync(out)
+        ms = (time.perf_counter() - t0) / reps * 1e3
+        bench.log(f"profile {tag:34s} {ms:8.2f} ms")
+        return ms
+
+    from comet_tpu.indexes.hnsw import PALLAS_EXPAND
+    from comet_tpu.ops import beam_kernel as bk
+
+    qprep = qc  # L2: preprocess is identity
+    t("seed_scan(width=256)", lambda: idx._seed_scan(qprep, 256))
+    t("seed_scan(width=128)", lambda: idx._seed_scan(qprep, 128))
+
+    seeds = idx._seed_scan(qprep, 256)
+    entries = np.full(2048, max(idx._entry_slot, 0), np.int32)
+    qdev = jnp.asarray(qprep)
+    edev = jnp.asarray(entries)
+
+    def loop(iters):
+        return bk.beam_search_blocked(
+            qdev, edev, idx._dev_nbr_vecs, idx._dev_aux,
+            idx._dev_vectors, idx._dev_sqnorms, idx._dev_valid,
+            jnp.asarray(np.float32(np.inf)), 256, 128, PALLAS_EXPAND,
+            iters, False, seeds=seeds, stop=256,
+        )
+
+    ms1 = t("beam jit iters=1", lambda: loop(1))
+    ms8 = t("beam jit iters=8", lambda: loop(8))
+    ms24 = t("beam jit iters=24", lambda: loop(24))
+    ms48 = t("beam jit iters=48 (if converged, early exit)",
+             lambda: loop(48))
+    bench.log(f"profile per-iter slope (8->24): {(ms24 - ms8) / 16:.2f} ms")
+    t("end-to-end search_batch", lambda: idx.search_batch(
+        qc, k=100, ef_search=256), reps=4)
+
+
 def main():
     cmd = sys.argv[1] if len(sys.argv) > 1 else "build"
     if cmd == "build":
         build()
         return
     idx, corpus, queries, truth = load()
+    if cmd == "profile":
+        profile(idx, queries)
+        return
     for spec in sys.argv[2:]:
         run_spec(idx, queries, truth, spec)
 

@@ -385,3 +385,28 @@ def test_int8_cosine(rng):
 def test_rerank_requires_lossy_storage():
     with pytest.raises(InvalidConfigError):
         FlatIndex(8, DistanceKind.L2, storage="float32", rerank=True)
+
+
+def test_wire_scores_false_matches_ids(rng):
+    """wire_scores=False skips the score download (the result wire is the
+    tunnel bottleneck at k=100) but must return identical ids; combining
+    with score-needing post-steps raises."""
+    import pytest
+
+    from comet_tpu.types import InvalidConfigError
+
+    data = rng.normal(size=(500, 16)).astype(np.float32)
+    idx = FlatIndex(16, DistanceKind.L2)
+    idx.add_batch(data, ids=list(range(1, 501)))
+    q = data[:32]
+    ids_full, sc = idx.search_batch(q, k=7)
+    ids_wire, sc0 = idx.search_batch(q, k=7, wire_scores=False)
+    np.testing.assert_array_equal(ids_wire, ids_full)
+    # scores are NOT part of the contract with wire_scores=False: the TPU
+    # path returns zeros (no download), the CPU chunked path returns real
+    # values — only the shape is guaranteed
+    assert sc0.shape == sc.shape
+    outs = list(idx.search_stream([q, q], k=7, wire_scores=False))
+    np.testing.assert_array_equal(outs[1][0], ids_full)
+    with pytest.raises(InvalidConfigError):
+        idx.search_batch(q, k=7, wire_scores=False, cutoff=3)
