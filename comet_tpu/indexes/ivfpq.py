@@ -121,7 +121,7 @@ def _ivfpq_search_kernel(
 
         slots = jnp.where(have[:, None], chunk_slots[chunk], -1)   # [Q, C]
         slots_c = jnp.maximum(slots, 0)
-        member_codes = codes[slots_c]                              # [Q, C, M]
+        member_codes = codes[slots_c].astype(jnp.int32)            # [Q, C, M]
         picked = jnp.take_along_axis(
             lut_flat[:, None, :], member_codes + offs_m, axis=2
         )                                                          # [Q, C, M]
@@ -459,13 +459,17 @@ class IVFPQIndex(BaseVectorIndex):
             chunk_slots, chunk_start, max_chunks = build_chunked_lists(
                 self._assign[:n], self._nlist
             )
+            code_np = (
+                self._codes.astype(np.uint8) if self._nbits <= 8
+                else self._codes
+            )  # codes ride HBM/wire narrow; kernels cast to i32 on read
             self._dev = (
                 jnp.asarray(self._centroids),
                 jnp.asarray(self._codebooks),
                 jnp.asarray(chunk_slots),
                 jnp.asarray(chunk_start),
                 max_chunks,
-                jnp.asarray(self._codes),
+                jnp.asarray(code_np),
                 jnp.asarray(self._store.valid),
             )
             self._dev_version = self._store.version
@@ -501,7 +505,7 @@ class IVFPQIndex(BaseVectorIndex):
 
             @jax.jit
             def build(codes, assign, centroids, codebooks, rot_t):
-                resid = pq_decode(codes, codebooks)            # [cap, d]
+                resid = pq_decode(codes.astype(jnp.int32), codebooks)
                 cent = centroids[jnp.maximum(assign, 0)]       # [cap, d]
                 rec = resid + cent
                 if rot_t is not None:
@@ -514,7 +518,11 @@ class IVFPQIndex(BaseVectorIndex):
                                   precision=DEFAULT_PRECISION)
                 return rec.T, jnp.sum(rec * rec, axis=1)
 
-            codes = jnp.asarray(self._codes[:cap])
+            code_np = (
+                self._codes[:cap].astype(np.uint8) if self._nbits <= 8
+                else self._codes[:cap]
+            )
+            codes = jnp.asarray(code_np)
             assign = jnp.asarray(self._assign[:cap])
             rec_t, sqnorms = build(
                 codes, assign,

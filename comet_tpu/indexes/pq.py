@@ -229,7 +229,11 @@ class PQIndex(BaseVectorIndex):
 
     def _device_codes(self):
         if self._dev_version != self._store.version:
-            self._dev_codes = jnp.asarray(self._codes[: len(self._codes)])
+            code_np = (
+                self._codes.astype(np.uint8) if self._ksub <= 256
+                else self._codes
+            )  # narrow wire/HBM; consumers cast to i32 on read
+            self._dev_codes = jnp.asarray(code_np)
             self._dev_codebooks = jnp.asarray(self._codebooks)
             self._dev_version = self._store.version
         return self._dev_codes, self._dev_codebooks
@@ -253,11 +257,15 @@ class PQIndex(BaseVectorIndex):
 
             @jax.jit
             def build(codes, codebooks):
-                rec = pq_decode(codes, codebooks)  # [cap, d]
+                rec = pq_decode(codes.astype(jnp.int32), codebooks)
                 return rec.T, jnp.sum(rec * rec, axis=1)
 
+            code_np = (
+                self._codes[:cap].astype(np.uint8) if self._ksub <= 256
+                else self._codes[:cap]
+            )
             rec_t, sqn = build(
-                jnp.asarray(self._codes[:cap]), jnp.asarray(self._codebooks)
+                jnp.asarray(code_np), jnp.asarray(self._codebooks)
             )
             self._dev_rec_t = rec_t
             self._dev_rec_sqn = sqn

@@ -91,8 +91,11 @@ def run_spec(idx, queries, truth, spec: str):
     idx.config.seed_width = int(kv.get("width", 0))
     ef = int(kv.get("ef", 256))
     os.environ["COMET_HNSW_FUSE"] = kv.get("fuse", "0")
+    kw = {}
+    if kv.get("wire", "1") == "0":
+        kw["wire_scores"] = False
     t0 = time.perf_counter()
-    qps, found = bench.time_search(idx, queries, 100, ef_search=ef)
+    qps, found = bench.time_search(idx, queries, 100, ef_search=ef, **kw)
     r10 = bench.recall(found[:, :10], truth[:, :10])
     r100 = bench.recall(found[:, :100], truth)
     bench.log(
