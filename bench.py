@@ -305,7 +305,7 @@ def bench_all(corpus, queries, truth_ids, truth100=None):
     try:
         qps, ids = time_search(idx, queries, K, nprobes=10)
         report("ivfpq_opq_nprobe10", qps, ids)
-        for nprobe, nref in ((16, 256), (32, 256), (32, 512)):
+        for nprobe, nref in ((16, 256), (32, 256), (32, 512), (64, 512)):
             qps, ids = time_search(
                 idx, queries, 10, nprobes=nprobe, nrefine=nref
             )

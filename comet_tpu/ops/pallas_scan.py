@@ -224,6 +224,12 @@ def fused_dist_select(
             pltpu.VMEM((kb + max(kb, new_per_step), TQ), jnp.float32),
             pltpu.VMEM((kb + max(kb, new_per_step), TQ), jnp.int32),
         ],
+        # kb=256 shapes sit 104 KB past Mosaic's default 16 MB scoped-vmem
+        # limit after the r5 libtpu update; the v5e has 128 MB of VMEM, so
+        # grant headroom explicitly (r5 bench OOM at the nrefine row)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(*operands)
 
