@@ -391,6 +391,14 @@ class ShardedIVFPQSearcher:
                 jnp.asarray(ivfpq_index._codebooks),
             )
         ) + ivfpq_index._centroids[np.maximum(assign_np, 0)]
+        centroids_np = ivfpq_index._centroids
+        if ivfpq_index._rot is not None:
+            # OPQ: model lives in rotated coordinates; rotate the
+            # reconstructions and coarse centroids BACK once so the
+            # sharded scan serves user-space queries (same move as
+            # IVFPQIndex._device_dense)
+            rec = rec @ ivfpq_index._rot.T
+            centroids_np = centroids_np @ ivfpq_index._rot.T
         shard = max(-(-n // n_dev), 1)
         n_pad = shard * n_dev
         dim = rec.shape[1]
@@ -409,7 +417,7 @@ class ShardedIVFPQSearcher:
         self.n_pad = n_pad
         self.tile = min(tile, shard)
         self.row_ids = store.ids[:n].copy()
-        self.centroids = jnp.asarray(ivfpq_index._centroids)
+        self.centroids = jnp.asarray(centroids_np)
         self._valid_host = valid
         self.corpus, self.assign, self.valid = shard_rows(mesh, pad, assign, valid)
         self.sqnorms = shard_rows(mesh, (pad * pad).sum(axis=1).astype(np.float32))

@@ -351,3 +351,28 @@ def test_sharded_hnsw_allowed_and_uneven_batch(rng):
     live = slots != 2**31 - 1
     assert live.any()
     assert (slots[live] % 2 == 0).all()
+
+
+def test_sharded_ivfpq_opq_matches_single_device(rng):
+    """OPQ rotation must stay internal under corpus sharding: the sharded
+    scan rotates reconstructions and coarse centroids back to user space,
+    so user-space queries return the same ids as the single-device index."""
+    from comet_tpu.indexes.ivfpq import IVFPQIndex
+    from comet_tpu.parallel.sharded import ShardedIVFPQSearcher
+    from comet_tpu.types import DistanceKind
+
+    n, dim = 900, 16
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    scalemat = np.diag(np.linspace(0.1, 2.0, dim).astype(np.float32))
+    data = (base @ scalemat).astype(np.float32)
+    idx = IVFPQIndex(dim, DistanceKind.L2, nlist=4, m=4, nbits=6, opq=True,
+                     opq_iters=2)
+    idx.train(data)
+    idx.add_batch(data, ids=list(range(1, n + 1)))
+    q = rng.normal(size=(16, dim)).astype(np.float32)
+    single_ids, single_sc = idx.search_batch(q, k=10, nprobes=4)
+    sh = ShardedIVFPQSearcher(make_corpus_mesh(), idx, tile=128)
+    s, slots = sh.search(q, k=10, nprobe=4)
+    got_ids = sh.row_ids[np.clip(slots, 0, n - 1)]
+    np.testing.assert_array_equal(got_ids, single_ids)
+    np.testing.assert_allclose(s, single_sc, rtol=1e-4, atol=1e-4)
