@@ -158,6 +158,38 @@ def recall(found_ids, true_ids):
     return hits / true_ids.size
 
 
+def bench_wire_floor(results=None):
+    """Measure the tunnel's per-batch wire floor at the serving shapes:
+    upload one [2048, 128] query batch + download one [2048, 100]
+    (ids, scores) result pair, no compute. EVERY k=100 index row is bounded
+    by ~1/this (the tunnel regime drifts hour-scale, so the committed
+    sweep's other rows should be read against this same-session number).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    up = np.zeros((2048, 128), dtype=np.uint8)  # narrow-wire query bytes
+    ids_dev = jnp.zeros((2048, 100), jnp.int32)
+    sc_dev = jnp.zeros((2048, 100), jnp.float32)
+    jax.block_until_ready((ids_dev, sc_dev))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        d = jnp.asarray(up)
+        jax.device_get((ids_dev, sc_dev))
+        del d
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    per_batch = times[len(times) // 2]
+    ceil = 2048 / per_batch
+    log(f"tunnel wire floor: {per_batch * 1e3:.1f} ms/batch "
+        f"(query up 0.26 MB + result down 1.64 MB) -> {ceil:.0f} QPS "
+        f"ceiling for ANY k=100 index this session")
+    if results is not None:
+        results["wire_floor_qps_ceiling"] = (ceil, None)
+    return ceil
+
+
 def bench_flat(corpus, queries, storage="float32", samples=1):
     from comet_tpu.indexes.flat import FlatIndex
     from comet_tpu.types import DistanceKind
@@ -198,6 +230,7 @@ def bench_all(corpus, queries, truth_ids, truth100=None):
 
     truth10 = truth_ids[:, :10]
     results = {}
+    bench_wire_floor(results)
 
     def rec100(found):
         """recall@100 against ground truth when available (the reference's

@@ -70,15 +70,25 @@ def narrow_wire(vecs_np: np.ndarray) -> np.ndarray:
     return vecs_np
 
 
+_CAST_F32 = None
+
+
 def upload_f32_exact(vecs_np: np.ndarray) -> jnp.ndarray:
     """Upload a float32 matrix to HBM via the narrowest exact wire format
-    (see `narrow_wire`), casting back to f32 on device."""
+    (see `narrow_wire`), casting back to f32 on device.
+
+    The cast jit is a MODULE-LEVEL singleton: a fresh `jax.jit(lambda...)`
+    per call re-traces every invocation (~100s of ms on this 1-core host),
+    which r5's first sweep measured as a 450 ms single-query hybrid P50."""
+    global _CAST_F32
     import jax
 
     wire = narrow_wire(vecs_np)
     if wire.dtype == np.float32:
         return jnp.asarray(wire)
-    return jax.jit(lambda w: w.astype(jnp.float32))(jnp.asarray(wire))
+    if _CAST_F32 is None:
+        _CAST_F32 = jax.jit(lambda w: w.astype(jnp.float32))
+    return _CAST_F32(jnp.asarray(wire))
 
 
 class SlotStore:
