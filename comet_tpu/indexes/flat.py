@@ -83,6 +83,8 @@ def _flat_fused_dispatch(
     """
     from comet_tpu.ops.pallas_scan import flat_topk_pipeline
 
+    if q.dtype != jnp.float32:
+        q = q.astype(jnp.float32)  # narrow-wire cast fused into this jit
     if filtered:
         mask_vec = _mask_from_words(words32, ids, valid, mask_or_base, cosine)
     else:
@@ -346,8 +348,10 @@ class FlatIndex(BaseVectorIndex):
                 mask_or_base = self._mask_vec(valid, sqnorms, cosine, None)
             rows = -(-qpad.shape[0] // P_TQ) * P_TQ
             corpus_t = self._device_corpus_t(vecs)
+            from comet_tpu.indexes.base import narrow_wire
+
             s, i = _flat_fused_dispatch(
-                upload_f32_exact(qpad), corpus_t, mask_or_base, thr_k,
+                jnp.asarray(narrow_wire(qpad)), corpus_t, mask_or_base, thr_k,
                 words32, ids_dev, valid_dev,
                 rows=rows, q_out=qpad.shape[0], k_pad=k_pad,
                 cosine=cosine,

@@ -729,7 +729,9 @@ class HNSWIndex(BaseVectorIndex):
         if self._dev_l1 is None:
             return np.full(len(qc), self._entry_slot, dtype=np.int32)
         vecs_t, sqn, slots = self._dev_l1
-        return nearest_entry(upload_f32_exact(qc), vecs_t, sqn, slots)
+        from comet_tpu.indexes.base import narrow_wire
+
+        return nearest_entry(jnp.asarray(narrow_wire(qc)), vecs_t, sqn, slots)
 
     def _ensure_level(self, level: int) -> None:
         if level not in self._upper:
@@ -1112,6 +1114,7 @@ class HNSWIndex(BaseVectorIndex):
         sorted (dist, slot) ascending with (inf, SENT) padding."""
         import os
 
+        from comet_tpu.indexes.base import narrow_wire
         from comet_tpu.ops import ivf_sparse as sp
 
         st = self._ensure_seed()
@@ -1123,7 +1126,7 @@ class HNSWIndex(BaseVectorIndex):
             nprobe, st["nlist"], st["nch_total"], st["max_chunks"]
         )
         sd, ss, _overflow = sp.ivf_sparse_pipeline(
-            upload_f32_exact(qc), st["corpus_t"], st["mask_vec"], st["row_slot"],
+            jnp.asarray(narrow_wire(qc)), st["corpus_t"], st["mask_vec"], st["row_slot"],
             jnp.asarray(np.float32(np.inf)), st["centroids"],
             st["order_key"], st["chunk_start"], st["nchunks"],
             k=ef_pad, nprobe=nprobe, S=S, UC=UC, MC=MC, nlist=st["nlist"],
@@ -1188,8 +1191,10 @@ class HNSWIndex(BaseVectorIndex):
             else:
                 seeds = None
                 entries = self._descend_for_search(qc)
+            from comet_tpu.indexes.base import narrow_wire
+
             sd, ss = beam_search_blocked(
-                upload_f32_exact(qc),
+                jnp.asarray(narrow_wire(qc)),
                 jnp.asarray(entries),
                 self._dev_nbr_vecs,
                 self._dev_aux,

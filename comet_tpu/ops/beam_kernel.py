@@ -1029,6 +1029,8 @@ def _beam_search_jit(
     res_s [Q, k]) ascending with slot tie-break; empty = (inf, SENT).
     """
     Q, d = queries.shape
+    if queries.dtype != jnp.float32:
+        queries = queries.astype(jnp.float32)  # narrow-wire cast in-jit
     ew = expand * _table_width(nbr_vecs, d)
     kr = _next_pow2(max(2 * k, 64)) if fused else 0
 
@@ -1103,7 +1105,7 @@ def nearest_entry(queries, mem_vecs_t, mem_sqn, mem_slots):
     improve. queries [Q, d] f32; mem_vecs_t [d, M] bf16; mem_sqn [M] f32
     (+inf on padding); mem_slots [M] i32. Returns [Q] i32 layer-0 slots."""
     ip = jnp.dot(
-        queries.astype(jnp.bfloat16), mem_vecs_t,
+        queries.astype(jnp.float32).astype(jnp.bfloat16), mem_vecs_t,
         preferred_element_type=jnp.float32,
     )                                                   # [Q, M]
     d = mem_sqn[None, :] - 2.0 * ip                     # + qn is rank-free

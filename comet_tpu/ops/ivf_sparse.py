@@ -527,6 +527,8 @@ def ivf_sparse_pipeline(
     quality degrades only marginally for envelope-sized slices). Returns
     (scores [Qp, k'], slots [Qp, k'], overflow [G] i32) exactly like the
     single-dispatch path."""
+    if qpad.dtype != jnp.float32:
+        qpad = qpad.astype(jnp.float32)  # narrow-wire cast in-jit
     kwargs = dict(
         k=k, nprobe=nprobe, S=S, UC=UC, MC=MC, nlist=nlist,
         coarse_cosine=coarse_cosine, cosine=cosine, sqrt_out=sqrt_out,

@@ -293,6 +293,8 @@ def flat_topk_pipeline(
     Returns (scores [Qp, k], slots [Qp, k]); empty slots carry
     (+inf, IDX_SENTINEL). Requires k <= group * n_groups.
     """
+    if qpad.dtype != jnp.float32:
+        qpad = qpad.astype(jnp.float32)  # narrow-wire cast in-jit
     Qp, d = qpad.shape
     G = corpus_t.shape[1] // group
     kb = min(max(1 << max(k - 1, 1).bit_length(), 8), G)  # pow2, >= k
@@ -340,6 +342,8 @@ def ivf_topk_pipeline(
     MXU a masked dense scan is ~30x faster than the gather-bound
     cursor-walk at 1M scale, with identical results.
     """
+    if qpad.dtype != jnp.float32:
+        qpad = qpad.astype(jnp.float32)  # narrow-wire cast in-jit
     Qp, d = qpad.shape
     nlist = centroids.shape[0]
     # centroid ranking only needs relative order per query (drop the +qn)
