@@ -152,12 +152,14 @@ class HNSWConfig:
     is close to the window.
 
     seed_width caps how many beam rows the probe scan SEEDS, decoupled
-    from the stop window (0 = width = stop). The probe scan's top-k cost
-    jumps at kb > 128 (its 256-row bitonic costs more than the beam loop,
-    ops/pallas_scan notes), while the stop window only needs to be wide
-    for TERMINATION headroom — seeding 128 rows under a 256-row window
-    keeps the scan on the cheap path and lets beam expansion fill rows
-    128+."""
+    from the stop window (0 = min(stop, 128), the default since r5). The
+    probe scan's kb=256 top-k bitonic costs MORE than the entire beam
+    loop (59 vs ~40 ms per 2048-query batch, scripts/hnsw1m_rig.py
+    profile), while the stop window only needs to be wide for TERMINATION
+    headroom — seeding 128 rows under the 256-row window measured +62%
+    QPS for -0.0008 recall@100 at 1M (21.3k vs 13.1k same-session,
+    benchmarks/hnsw_1m_r5.log). Set seed_width=stop to restore full-width
+    seeding."""
 
     m: int = 16
     ef_construction: int = 200
@@ -1163,7 +1165,7 @@ class HNSWIndex(BaseVectorIndex):
             # at 0.93 while 2*k reaches 0.96 at ~25% fewer QPS (sweep in
             # benchmarks/hnsw_1m_r4.log) — seed_stop overrides either way.
             stop = min(self._cfg.seed_stop or max(2 * k_pad, 64), ef_pad)
-            seed_k = min(self._cfg.seed_width or stop, stop)
+            seed_k = min(self._cfg.seed_width or 128, stop)
             max_iters = self._cfg.search_iters or max(
                 (2 * stop) // PALLAS_EXPAND // 2, 12
             )
