@@ -149,6 +149,9 @@ class FlatIndex(BaseVectorIndex):
         self._dev_t = None
         self._dev_t_version = -1
         self._mask_cache = None
+        # device copies of repeated doc-ID filter words, keyed by the
+        # shared COW words buffer (see _search_launch)
+        self._filter_dev_cache: dict = {}
         self._mask_key = None
 
     # -- contracts -----------------------------------------------------------
@@ -337,9 +340,35 @@ class FlatIndex(BaseVectorIndex):
                 thr_k = thr * thr if self._distance_kind == DistanceKind.L2 else thr
             if doc_filter.enabled:
                 # packed-words filter expansion on device (single-query
-                # latency: uploads words/8 bytes instead of a dense mask)
+                # latency: uploads words/8 bytes instead of a dense mask).
+                # Repeated-filter serving (the hybrid pattern: the metadata
+                # memo hands back the SAME shared words buffer per
+                # predicate set) reuses the device copy — saves one eager
+                # upload enqueue (~1 ms of tunnel) per query.
                 nw64 = self._filter_word_span(doc_filter)
-                words32 = jnp.asarray(doc_filter.word_mask(nw64).view(np.uint32))
+                words32 = None
+                cache_key = None
+                bs = doc_filter._bitset
+                # only COW-SHARED buffers are safe to key by identity: a
+                # shared bitset copies before any mutation, so the cached
+                # array can never change in place under us (user-owned
+                # unshared bitsets could)
+                if bs is not None and bs._shared:
+                    cache_key = (id(bs.words), len(bs.words), nw64)
+                    hit = self._filter_dev_cache.get(cache_key)
+                    if hit is not None and hit[0] is bs.words:
+                        words32 = hit[1]
+                if words32 is None:
+                    words32 = jnp.asarray(
+                        doc_filter.word_mask(nw64).view(np.uint32)
+                    )
+                    if cache_key is not None:
+                        if len(self._filter_dev_cache) >= 16:
+                            self._filter_dev_cache.clear()
+                        # hold the numpy buffer so id() stays valid
+                        self._filter_dev_cache[cache_key] = (
+                            bs.words, words32,
+                        )
                 mask_or_base, ids_dev, valid_dev = (
                     sqnorms, self._device_ids(), valid,
                 )
