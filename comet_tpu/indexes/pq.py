@@ -51,7 +51,7 @@ from comet_tpu.types import (
 )
 
 MAGIC = b"CPQX"
-VERSION = 2  # v2: CRC32 payload trailer (v1 readable, no trailer check)
+VERSION = 3  # v3: optional OPQ rotation; v2: CRC32 trailer (older readable)
 
 PQ_QUERY_CHUNK = 256
 
@@ -77,6 +77,8 @@ class PQIndex(BaseVectorIndex):
         distance_kind: DistanceKind = DistanceKind.L2,
         m: int | None = None,
         nbits: int = 8,
+        opq: bool = False,
+        opq_iters: int = 6,
     ):
         super().__init__(dim, distance_kind)
         if m is None:
@@ -91,6 +93,12 @@ class PQIndex(BaseVectorIndex):
         self._nbits = nbits
         self._ksub = 1 << nbits
         self._dsub = dim // m
+        # OPQ extension (same design as IVFPQIndex: the model lives in
+        # rotated coordinates, serving stays in user coordinates — the
+        # decoded-scan cache rotates back at build time).
+        self._opq = bool(opq)
+        self._opq_iters = int(opq_iters)
+        self._rot: np.ndarray | None = None
         # Vector-less slot store: PQ keeps codes, not originals.
         self._store = SlotStore(0)
         self._codes = np.zeros((self._store.capacity, m), dtype=np.int32)
@@ -135,9 +143,13 @@ class PQIndex(BaseVectorIndex):
                 f"need at least {self._ksub} vectors for training"
             )
         prepped = preprocess(vectors, self._distance_kind)
+        rot = self._train_opq(prepped, max_iter) if self._opq else None
+        if rot is not None:
+            prepped = prepped @ rot
         sub = prepped.reshape(len(prepped), self._m, self._dsub)
         codebooks, _ = kmeans_subspace(sub, self._ksub, max_iter, return_assign=False)
         with self._lock:
+            self._rot = rot
             self._codebooks = codebooks
             self._trained = True
             # Re-encode any existing vectors? Originals are gone — the
@@ -145,6 +157,44 @@ class PQIndex(BaseVectorIndex):
             # only valid on an empty index.
             self._dev_version = -1
             self._decoded_version = -1
+
+    def _train_opq(self, prepped: np.ndarray, max_iter: int) -> np.ndarray:
+        """OPQ-NP alternation (see IVFPQIndex._train_opq; here the model
+        is codebooks only — no coarse stage). Device fits + host d x d SVD."""
+        import jax
+
+        from comet_tpu.ops.distance import DEFAULT_PRECISION
+
+        d = self._dim
+        y_dev = jnp.asarray(prepped)
+        rot = np.eye(d, dtype=np.float32)
+
+        @jax.jit
+        def rotate(y, r):
+            return jnp.dot(y, r, preferred_element_type=jnp.float32,
+                           precision=DEFAULT_PRECISION)
+
+        @jax.jit
+        def procrustes_m(y, books, codes):
+            rec = pq_decode(codes, books)
+            return jnp.dot(y.T, rec, preferred_element_type=jnp.float32,
+                           precision=DEFAULT_PRECISION)
+
+        inner_iter = max(2, min(4, max_iter))
+        for _ in range(max(self._opq_iters, 1)):
+            z = np.asarray(rotate(y_dev, jnp.asarray(rot)))
+            books, _ = kmeans_subspace(
+                z.reshape(len(z), self._m, self._dsub), self._ksub,
+                inner_iter, return_assign=False,
+            )
+            books_d = jnp.asarray(books)
+            codes = pq_encode(
+                jnp.asarray(z.reshape(len(z), self._m, self._dsub)), books_d
+            )
+            mm = np.asarray(procrustes_m(y_dev, books_d, codes))
+            u, _, vt = np.linalg.svd(mm)
+            rot = (u @ vt).astype(np.float32)
+        return rot
 
     # -- mutation --------------------------------------------------------------
 
@@ -173,11 +223,15 @@ class PQIndex(BaseVectorIndex):
         from comet_tpu.indexes.base import narrow_wire
 
         cb_dev = jnp.asarray(self._codebooks)
+        rot_dev = jnp.asarray(self._rot) if self._rot is not None else None
         m = self._m
 
         def encode_chunk(chunk):
             if chunk.dtype != jnp.float32:
                 chunk = chunk.astype(jnp.float32)  # exact narrow-wire cast
+            if rot_dev is not None:
+                chunk = jnp.dot(chunk, rot_dev,
+                                preferred_element_type=jnp.float32)
             return pq_encode(chunk.reshape(chunk.shape[0], m, -1), cb_dev)
 
         codes = stream_device_map(
@@ -211,7 +265,12 @@ class PQIndex(BaseVectorIndex):
     # -- search ---------------------------------------------------------------
 
     def _decode(self, codes: np.ndarray) -> np.ndarray:
-        return np.asarray(pq_decode(jnp.asarray(codes), jnp.asarray(self._codebooks)))
+        rec = np.asarray(
+            pq_decode(jnp.asarray(codes), jnp.asarray(self._codebooks))
+        )
+        if self._rot is not None:
+            rec = rec @ self._rot.T  # model space -> user space
+        return rec
 
     def _lookup_node_vectors(self, node_ids):
         """WithNode queries run on DECODED vectors (originals discarded)."""
@@ -256,8 +315,11 @@ class PQIndex(BaseVectorIndex):
             cap = self._store.capacity
 
             @jax.jit
-            def build(codes, codebooks):
+            def build(codes, codebooks, rot_t):
                 rec = pq_decode(codes.astype(jnp.int32), codebooks)
+                if rot_t is not None:
+                    rec = jnp.dot(rec, rot_t,
+                                  preferred_element_type=jnp.float32)
                 return rec.T, jnp.sum(rec * rec, axis=1)
 
             code_np = (
@@ -265,7 +327,8 @@ class PQIndex(BaseVectorIndex):
                 else self._codes[:cap]
             )
             rec_t, sqn = build(
-                jnp.asarray(code_np), jnp.asarray(self._codebooks)
+                jnp.asarray(code_np), jnp.asarray(self._codebooks),
+                jnp.asarray(self._rot.T) if self._rot is not None else None,
             )
             self._dev_rec_t = rec_t
             self._dev_rec_sqn = sqn
@@ -332,6 +395,8 @@ class PQIndex(BaseVectorIndex):
             return ("dev", s, i, q_real, k_eff, store.ids)
 
         codes_dev, codebooks_dev = self._device_codes()
+        if self._rot is not None:
+            qpad = qpad @ self._rot  # LUT path scores in model space
         chunks = []
         for q0 in range(0, qpad.shape[0], PQ_QUERY_CHUNK):
             qc = qpad[q0 : q0 + PQ_QUERY_CHUNK]
@@ -360,6 +425,9 @@ class PQIndex(BaseVectorIndex):
             serial.write_u32(w, self._m)
             serial.write_u32(w, self._nbits)
             serial.write_u32(w, 1 if self._trained else 0)
+            serial.write_u32(w, 1 if self._rot is not None else 0)
+            if self._rot is not None:
+                serial.write_array(w, self._rot)
             if self._trained:
                 serial.write_array(w, self._codebooks)
             n = self._store.n
@@ -388,6 +456,9 @@ class PQIndex(BaseVectorIndex):
                 f"stored=(M={m}, Nbits={nbits})"
             )
         trained = bool(serial.read_u32(r))
+        rot = None
+        if version >= 3 and serial.read_u32(r):
+            rot = serial.read_array(r).astype(np.float32)
         codebooks = serial.read_array(r) if trained else None
         n = serial.read_u64(r)
         ids = serial.read_array(r)
@@ -397,6 +468,8 @@ class PQIndex(BaseVectorIndex):
         if len(ids) != n or codes.shape != (n, m):
             raise serial.SerializationError("corrupt PQ index payload")
         with self._lock:
+            self._rot = rot
+            self._opq = rot is not None
             self._codebooks = codebooks
             self._trained = trained
             self._store = SlotStore(0, capacity=max(n, 1))

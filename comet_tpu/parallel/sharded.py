@@ -351,6 +351,8 @@ class ShardedPQSearcher:
                 jnp.asarray(pq_index._codebooks),
             )
         )
+        if pq_index._rot is not None:
+            rec = rec @ pq_index._rot.T  # OPQ: back to user coordinates
         rec[~store.valid[:n]] = 0.0
         self._flat = ShardedFlatSearcher(mesh, rec, DistanceKind.L2, tile)
         self._flat._valid_host[:n] = store.valid[:n]
