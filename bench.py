@@ -185,6 +185,7 @@ def bench_wire_floor(results=None):
     for r in range(5):
         t0 = time.perf_counter()
         d = jnp.asarray(ups[r])
+        np.asarray(jax.device_get(d[:1, :1]))  # sync the UPLOAD leg too
         jax.device_get(pairs[r])
         del d
         times.append(time.perf_counter() - t0)

@@ -421,8 +421,8 @@ class BaseVectorIndex:
         index state at submission time. Semantics per batch are identical
         to `search_batch` (aggregation groups never span input batches).
         """
-        from collections import deque
-
+        # validate EAGERLY (this wrapper is not a generator, so bad knob
+        # combinations raise at the call site, not at first iteration)
         builder = self._make_batch_builder(
             k, threshold, document_ids, nprobes, ef_search, nrefine,
             wire_scores=wire_scores,
@@ -432,6 +432,15 @@ class BaseVectorIndex:
                 "wire_scores=False cannot combine with cutoff/aggregation "
                 "post-steps (they need the scores on host)"
             )
+        return self._search_stream_iter(
+            batches, builder, k, depth, aggregation, cutoff, group_size
+        )
+
+    def _search_stream_iter(
+        self, batches, builder, k, depth, aggregation, cutoff, group_size
+    ):
+        from collections import deque
+
         pending: deque = deque()
 
         def collect():

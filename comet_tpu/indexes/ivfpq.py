@@ -322,24 +322,36 @@ class IVFPQIndex(BaseVectorIndex):
                            precision=DEFAULT_PRECISION)
 
         @jax.jit
-        def procrustes_m(y, cent, books, assign, codes):
+        def chunk_m(y_chunk, z_chunk, cent, books):
+            # encode + reconstruct + partial Procrustes accumulator for ONE
+            # chunk: the whole-set encode materializes a [n, M, Ksub] f32
+            # intermediate (16 GB at 1M x m=16) — an HBM OOM the add path
+            # already avoids by streaming (code review r5)
+            assign, codes = ivfpq_assign_encode(
+                z_chunk, cent, books, self._distance_kind
+            )
             rec = cent[assign] + pq_decode(codes, books)
-            return jnp.dot(y.T, rec, preferred_element_type=jnp.float32,
+            return jnp.dot(y_chunk.T, rec, preferred_element_type=jnp.float32,
                            precision=DEFAULT_PRECISION)
 
         inner_iter = max(2, min(4, max_iter))
+        chunk = 1 << 17
+        n = len(prepped)
         for _ in range(max(self._opq_iters, 1)):
-            z = np.asarray(rotate(y_dev, jnp.asarray(rot)))
+            rot_d = jnp.asarray(rot)
+            z = np.asarray(rotate(y_dev, rot_d))
             cent, books = kmeans_ivfpq_train(
                 z, self._nlist, self._distance_kind,
                 self._m, self._ksub, inner_iter,
             )
             cent_d, books_d = jnp.asarray(cent), jnp.asarray(books)
-            assign, codes = ivfpq_assign_encode(
-                jnp.asarray(z), cent_d, books_d, self._distance_kind
-            )
-            m = np.asarray(procrustes_m(y_dev, cent_d, books_d, assign, codes))
-            u, _, vt = np.linalg.svd(m)
+            mm = np.zeros((d, d), np.float64)
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                mm += np.asarray(chunk_m(
+                    y_dev[lo:hi], jnp.asarray(z[lo:hi]), cent_d, books_d
+                ), dtype=np.float64)
+            u, _, vt = np.linalg.svd(mm)
             rot = (u @ vt).astype(np.float32)
         return rot
 

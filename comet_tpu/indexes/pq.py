@@ -175,12 +175,20 @@ class PQIndex(BaseVectorIndex):
                            precision=DEFAULT_PRECISION)
 
         @jax.jit
-        def procrustes_m(y, books, codes):
+        def chunk_m(y_chunk, z_chunk, books):
+            # chunked encode+reconstruct+partial-M: whole-set pq_encode
+            # materializes [n, M, Ksub] f32 (code review r5)
+            codes = pq_encode(
+                z_chunk.reshape(z_chunk.shape[0], self._m, self._dsub),
+                books,
+            )
             rec = pq_decode(codes, books)
-            return jnp.dot(y.T, rec, preferred_element_type=jnp.float32,
+            return jnp.dot(y_chunk.T, rec, preferred_element_type=jnp.float32,
                            precision=DEFAULT_PRECISION)
 
         inner_iter = max(2, min(4, max_iter))
+        chunk = 1 << 17
+        n = len(prepped)
         for _ in range(max(self._opq_iters, 1)):
             z = np.asarray(rotate(y_dev, jnp.asarray(rot)))
             books, _ = kmeans_subspace(
@@ -188,10 +196,12 @@ class PQIndex(BaseVectorIndex):
                 inner_iter, return_assign=False,
             )
             books_d = jnp.asarray(books)
-            codes = pq_encode(
-                jnp.asarray(z.reshape(len(z), self._m, self._dsub)), books_d
-            )
-            mm = np.asarray(procrustes_m(y_dev, books_d, codes))
+            mm = np.zeros((d, d), np.float64)
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                mm += np.asarray(chunk_m(
+                    y_dev[lo:hi], jnp.asarray(z[lo:hi]), books_d
+                ), dtype=np.float64)
             u, _, vt = np.linalg.svd(mm)
             rot = (u @ vt).astype(np.float32)
         return rot
@@ -230,8 +240,11 @@ class PQIndex(BaseVectorIndex):
             if chunk.dtype != jnp.float32:
                 chunk = chunk.astype(jnp.float32)  # exact narrow-wire cast
             if rot_dev is not None:
+                from comet_tpu.ops.distance import DEFAULT_PRECISION
+
                 chunk = jnp.dot(chunk, rot_dev,
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=DEFAULT_PRECISION)
             return pq_encode(chunk.reshape(chunk.shape[0], m, -1), cb_dev)
 
         codes = stream_device_map(
@@ -314,12 +327,15 @@ class PQIndex(BaseVectorIndex):
 
             cap = self._store.capacity
 
+            from comet_tpu.ops.distance import DEFAULT_PRECISION
+
             @jax.jit
             def build(codes, codebooks, rot_t):
                 rec = pq_decode(codes.astype(jnp.int32), codebooks)
                 if rot_t is not None:
                     rec = jnp.dot(rec, rot_t,
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                                  precision=DEFAULT_PRECISION)
                 return rec.T, jnp.sum(rec * rec, axis=1)
 
             code_np = (

@@ -11,7 +11,10 @@ all land on the record without each index hand-enumerating its buffers
 (new buffers are counted the day they are added).
 
 Attached to every index as `stats()["memory"]`; BENCHMARKS.md's memory
-column reads these numbers.
+column reads these numbers. The tally covers ARRAY bytes (numpy + jax)
+— Python-object overhead (dict/list/str structures, e.g. BM25's
+incremental tf maps before their compiled-array cache builds) is not
+estimated.
 """
 
 from __future__ import annotations
@@ -30,11 +33,45 @@ def _is_device_array(x: Any) -> bool:
     ) and hasattr(x, "nbytes") and hasattr(x, "dtype")
 
 
+_SCALARS = (str, bytes, int, float, bool, type(None))
+
+
+def _scalar_like(v: Any) -> bool:
+    """True when v cannot (transitively) hold an array worth counting: a
+    plain scalar, or a list/tuple of scalars (probed by first element)."""
+    if isinstance(v, _SCALARS):
+        return True
+    if isinstance(v, (list, tuple)) and v:
+        return isinstance(v[0], _SCALARS)
+    return False
+
+
 def _children(obj: Any):
-    """Yield the traversable members of a container/comet object."""
+    """Yield the traversable members of a container/comet object.
+
+    Large containers whose first elements are plain scalars are skipped
+    wholesale: they cannot hold arrays (e.g. BM25's _doc_tokens — a
+    million lists of strings), and walking them would turn a
+    microsecond stats() call into seconds (code review r5)."""
     if isinstance(obj, dict):
+        if len(obj) > 64:
+            it = iter(obj.values())
+            probe = [v for _, v in zip(range(4), it)]
+            if all(_scalar_like(v) for v in probe):
+                return
+            yield from probe
+            yield from it
+            return
         yield from obj.values()
     elif isinstance(obj, (list, tuple, set, frozenset)):
+        if len(obj) > 64:
+            it = iter(obj)
+            probe = [v for _, v in zip(range(4), it)]
+            if all(_scalar_like(v) for v in probe):
+                return
+            yield from probe
+            yield from it
+            return
         yield from obj
     else:
         mod = getattr(type(obj), "__module__", "") or ""
@@ -63,7 +100,7 @@ def _tally(obj: Any, host: dict, device: dict, key: str, seen: set) -> None:
         except Exception:
             pass  # deleted/donated buffers have no nbytes
         return
-    if isinstance(obj, (str, bytes, int, float, bool, type(None))):
+    if isinstance(obj, _SCALARS):
         return
     seen.add(oid)
     for child in _children(obj):
