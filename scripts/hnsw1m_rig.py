@@ -90,21 +90,23 @@ def run_spec(idx, queries, truth, spec: str):
     idx.config.seed_nprobe = int(kv.get("nprobe", 0))
     idx.config.seed_width = int(kv.get("width", 0))
     ef = int(kv.get("ef", 256))
+    k = int(kv.get("k", 100))
     os.environ["COMET_HNSW_FUSE"] = kv.get("fuse", "0")
     kw = {}
     if kv.get("wire", "1") == "0":
         kw["wire_scores"] = False
     t0 = time.perf_counter()
-    qps, found = bench.time_search(idx, queries, 100, ef_search=ef, **kw)
+    qps, found = bench.time_search(idx, queries, k, ef_search=ef, **kw)
     r10 = bench.recall(found[:, :10], truth[:, :10])
-    r100 = bench.recall(found[:, :100], truth)
+    r100 = (bench.recall(found[:, :100], truth) if k >= 100 else None)
+    r100s = f", recall@100={r100:.3f}" if r100 is not None else ""
     bench.log(
-        f"[{spec}] {qps:.1f} QPS, recall@10={r10:.3f}, recall@100={r100:.3f}"
+        f"[{spec}] {qps:.1f} QPS, recall@10={r10:.3f}{r100s}"
         f" (wall {time.perf_counter() - t0:.0f}s)"
     )
     print(json.dumps({"spec": spec, "qps": round(qps, 1),
                       "recall_at_10": round(r10, 4),
-                      "recall_at_100": round(r100, 4)}), flush=True)
+                      "recall_at_100": r100 and round(r100, 4)}), flush=True)
 
 
 def profile(idx, queries):
