@@ -582,11 +582,13 @@ class IVFIndex(BaseVectorIndex):
                 sqrt_out=self._distance_kind == DistanceKind.L2,
             )
             try:
-                s.copy_to_host_async()
+                if builder._wire_scores:
+                    s.copy_to_host_async()
                 i.copy_to_host_async()
             except AttributeError:  # pragma: no cover
                 pass
-            return ("dev", s, i, q_real, k_eff, store.ids)
+            return ("dev", s if builder._wire_scores else None, i, q_real,
+                    k_eff, store.ids)
 
         centroids, chunk_slots, chunk_start, max_chunks = self._device_buckets()
         max_steps = next_pow2(nprobe * max_chunks, 4)

@@ -620,12 +620,13 @@ class IVFPQIndex(BaseVectorIndex):
                 )
                 take, nrefine = k_eff, 0
             try:
-                s.copy_to_host_async()
+                if builder._wire_scores:
+                    s.copy_to_host_async()
                 i.copy_to_host_async()
             except AttributeError:  # pragma: no cover
                 pass
-            return ("ivfpq_dev", s, i, q_real, k_eff, take, nrefine,
-                    qprep, store.ids)
+            return ("ivfpq_dev", s if builder._wire_scores else None, i,
+                    q_real, k_eff, take, nrefine, qprep, store.ids)
 
         (
             centroids, codebooks, chunk_slots, chunk_start, max_chunks, codes, _v,
@@ -659,7 +660,11 @@ class IVFPQIndex(BaseVectorIndex):
             )
         if kind == "ivfpq_dev":
             _, s, i, q_real, k_eff, take, nrefine, qprep, ids_snap = handle
-            scores, slots_np = jax.device_get((s, i))
+            if s is None:  # wire_scores=False: ids-only download
+                slots_np = np.asarray(jax.device_get(i))
+                scores = np.zeros(slots_np.shape, dtype=np.float32)
+            else:
+                scores, slots_np = jax.device_get((s, i))
         else:
             _, chunks, q_real, k_eff, take, nrefine, qprep, ids_snap = handle
             chunks = jax.device_get(chunks)

@@ -404,11 +404,13 @@ class PQIndex(BaseVectorIndex):
                 cosine=False, sqrt_out=True,
             )
             try:
-                s.copy_to_host_async()
+                if builder._wire_scores:
+                    s.copy_to_host_async()
                 i.copy_to_host_async()
             except AttributeError:  # pragma: no cover
                 pass
-            return ("dev", s, i, q_real, k_eff, store.ids)
+            return ("dev", s if builder._wire_scores else None, i, q_real,
+                    k_eff, store.ids)
 
         codes_dev, codebooks_dev = self._device_codes()
         if self._rot is not None:
