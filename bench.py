@@ -192,9 +192,12 @@ def bench_wire_floor(results=None):
     times.sort()
     per_batch = times[len(times) // 2]
     ceil = 2048 / per_batch
-    log(f"tunnel wire floor: {per_batch * 1e3:.1f} ms/batch "
+    log(f"tunnel wire floor (incompressible payloads): "
+        f"{per_batch * 1e3:.1f} ms/batch "
         f"(query up 0.26 MB + result down 1.64 MB) -> {ceil:.0f} QPS "
-        f"ceiling for ANY k=100 index this session")
+        f"worst-case ceiling this session; REAL result payloads "
+        f"(correlated scores, repeated queries) compress/dedup on the "
+        f"tunnel and can exceed it")
     if results is not None:
         results["wire_floor_qps_ceiling"] = (ceil, None)
     return ceil
