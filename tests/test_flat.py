@@ -410,3 +410,35 @@ def test_wire_scores_false_matches_ids(rng):
     np.testing.assert_array_equal(outs[1][0], ids_full)
     with pytest.raises(InvalidConfigError):
         idx.search_batch(q, k=7, wire_scores=False, cutoff=3)
+
+
+def test_narrow_wire_exactness_and_fallback(rng):
+    """The narrow wire must be BIT-exact for integral corpora across all
+    three widths and must fall back to f32 for anything else."""
+    import jax
+
+    from comet_tpu.indexes.base import narrow_wire, upload_f32_exact
+
+    cases = [
+        (rng.integers(0, 256, size=(300, 8)).astype(np.float32), np.uint8),
+        (rng.integers(-128, 128, size=(300, 8)).astype(np.float32), np.int8),
+        (rng.integers(-30000, 30000, size=(300, 8)).astype(np.float32),
+         np.int16),
+    ]
+    for arr, want_dtype in cases:
+        wire = narrow_wire(arr)
+        assert wire.dtype == want_dtype, (wire.dtype, want_dtype)
+        np.testing.assert_array_equal(
+            np.asarray(upload_f32_exact(arr)), arr
+        )
+    # non-integral, out-of-range, and empty fall back untouched
+    f = rng.normal(size=(300, 8)).astype(np.float32)
+    assert narrow_wire(f).dtype == np.float32
+    big = (rng.integers(0, 10, size=(64, 4)) * 100_000).astype(np.float32)
+    assert narrow_wire(big).dtype == np.float32
+    empty = np.zeros((0, 4), np.float32)
+    assert narrow_wire(empty).dtype == np.float32
+    # integral SAMPLE but non-integral tail must not be narrowed
+    sneaky = np.ones((5000, 4), np.float32)
+    sneaky[-1, 0] = 0.5
+    assert narrow_wire(sneaky).dtype == np.float32
