@@ -159,7 +159,13 @@ class HNSWConfig:
     headroom — seeding 128 rows under the 256-row window measured +62%
     QPS for -0.0008 recall@100 at 1M (21.3k vs 13.1k same-session,
     benchmarks/hnsw_1m_r5.log). Set seed_width=stop to restore full-width
-    seeding."""
+    seeding.
+
+    seed_kb caps the probe scan's selection-group count below the
+    block-select exactness bound (ops/ivf_sparse kb_cap): the candidate
+    bitonic over kb*128 rows is the scan's dominant cost, and seeds only
+    need the best few rows exact (beam expansion recovers the tail).
+    0 = derive (kb = seed_width // 4, min 32); -1 = exact (full kb)."""
 
     m: int = 16
     ef_construction: int = 200
@@ -169,6 +175,7 @@ class HNSWConfig:
     seed_nprobe: int = 0
     seed_stop: int = 0
     seed_width: int = 0
+    seed_kb: int = 0
 
 
 class HNSWIndex(BaseVectorIndex):
@@ -1127,13 +1134,23 @@ class HNSWIndex(BaseVectorIndex):
         S, UC, MC = sp.default_budgets(
             nprobe, st["nlist"], st["nch_total"], st["max_chunks"]
         )
+        # seed_kb: the candidate bitonic over kb*128 rows dominates the
+        # scan (22.9 of 34.4 ms at the 1M seed shapes); kb = width/4
+        # (floor 32) cut the width-128 scan 36.2 -> 27.1 ms at -0.0001
+        # recall@100 on the 1M rig; kb=16 cost 0.004 recall, hence the
+        # floor (benchmarks/hnsw_1m_r5.log kb A/B)
+        kb_cap = self._cfg.seed_kb
+        if kb_cap == 0:
+            kb_cap = max(ef_pad // 4, 32)
+        elif kb_cap < 0:
+            kb_cap = 0  # exact
         sd, ss, _overflow = sp.ivf_sparse_pipeline(
             jnp.asarray(narrow_wire(qc)), st["corpus_t"], st["mask_vec"], st["row_slot"],
             jnp.asarray(np.float32(np.inf)), st["centroids"],
             st["order_key"], st["chunk_start"], st["nchunks"],
             k=ef_pad, nprobe=nprobe, S=S, UC=UC, MC=MC, nlist=st["nlist"],
             coarse_cosine=False, cosine=False, sqrt_out=False,
-            bf16_domain=True,
+            bf16_domain=True, kb_cap=kb_cap,
         )
         return sd, ss
 

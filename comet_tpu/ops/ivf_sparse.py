@@ -386,7 +386,7 @@ def _coarse_probes(qpad, centroids, nprobe, coarse_cosine, interpret):
     static_argnames=(
         "k", "nprobe", "S", "UC", "MC", "nlist",
         "coarse_cosine", "cosine", "sqrt_out", "chunk", "sel_group",
-        "bf16_domain", "interpret",
+        "bf16_domain", "kb_cap", "interpret",
     ),
 )
 def _pipeline_jit(
@@ -409,6 +409,7 @@ def _pipeline_jit(
     chunk: int = CHUNK,
     sel_group: int = SEL_GROUP,
     bf16_domain: bool = False,
+    kb_cap: int = 0,
     interpret: bool = False,
 ):
     """Block-sparse IVF search, one dispatch for the whole padded batch.
@@ -418,6 +419,15 @@ def _pipeline_jit(
     layout's build_cluster_major chunk size. bf16_domain scores in the
     HNSW routing kernel's bf16 distance domain (corpus_t/mask_vec must be
     bf16-cast values) so results can seed beam searches.
+
+    kb_cap (0 = off) caps the number of selection groups kept below the
+    exactness bound: the candidate-stage bitonic over kb*sel_group rows is
+    the pipeline's dominant fixed cost (22.9 of 34.4 ms at the 1M seed
+    shapes, /tmp probe r5), and callers that only need APPROXIMATE top-k
+    (HNSW seed scans — recall comes from beam expansion, not seed
+    exactness) can shrink it 4x. With kb_cap = c, the top-c rows are still
+    exact (the block-select bound holds per prefix); ranks c+1..k come
+    only from the kept c groups.
     """
     Qp, d = qpad.shape
     G = Qp // QG
@@ -425,6 +435,8 @@ def _pipeline_jit(
     # block-select exactness bound; guarantee at least kb groups exist by
     # bumping S (extra steps are dead all-inf tiles).
     kb = max(1 << max(k - 1, 1).bit_length(), 8)
+    if kb_cap:
+        kb = min(kb, max(1 << max(kb_cap - 1, 1).bit_length(), 8))
     S = max(S, -(-kb * sel_group // chunk))
     probes = _coarse_probes(qpad, centroids, nprobe, coarse_cosine, interpret)
 
@@ -517,6 +529,7 @@ def ivf_sparse_pipeline(
     chunk: int = CHUNK,
     sel_group: int = SEL_GROUP,
     bf16_domain: bool = False,
+    kb_cap: int = 0,
     interpret: bool = False,
 ):
     """Memory-bounded front for `_pipeline_jit` (see its docstring).
@@ -533,7 +546,7 @@ def ivf_sparse_pipeline(
         k=k, nprobe=nprobe, S=S, UC=UC, MC=MC, nlist=nlist,
         coarse_cosine=coarse_cosine, cosine=cosine, sqrt_out=sqrt_out,
         chunk=chunk, sel_group=sel_group, bf16_domain=bf16_domain,
-        interpret=interpret,
+        kb_cap=kb_cap, interpret=interpret,
     )
     args = (corpus_t, mask_vec, row_slot, threshold, centroids,
             order_key, chunk_start, nchunks)

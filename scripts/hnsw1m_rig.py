@@ -89,6 +89,7 @@ def run_spec(idx, queries, truth, spec: str):
     idx.config.seed_stop = int(kv.get("stop", 0))
     idx.config.seed_nprobe = int(kv.get("nprobe", 0))
     idx.config.seed_width = int(kv.get("width", 0))
+    idx.config.seed_kb = int(kv.get("kb", 0))
     ef = int(kv.get("ef", 256))
     k = int(kv.get("k", 100))
     os.environ["COMET_HNSW_FUSE"] = kv.get("fuse", "0")

@@ -60,7 +60,8 @@ def _probes_oracle(queries, cents, nprobe):
 
 
 def _run_pipeline(queries, corpus, assign, cents, nprobe, k, *,
-                  threshold=np.inf, fmask=None, cosine=False, S=None):
+                  threshold=np.inf, fmask=None, cosine=False, S=None,
+                  kb_cap=0):
     nlist = len(cents)
     lay = _layout(assign, nlist)
     perm = lay["perm"]
@@ -87,7 +88,7 @@ def _run_pipeline(queries, corpus, assign, cents, nprobe, k, *,
         jnp.asarray(lay["chunk_start"]), jnp.asarray(lay["nchunks"]),
         k=k, nprobe=nprobe, S=Sd, UC=UC, MC=MC, nlist=nlist,
         coarse_cosine=cosine, cosine=cosine, sqrt_out=not cosine,
-        interpret=True,
+        kb_cap=kb_cap, interpret=True,
     )
     return np.asarray(s), np.asarray(i), np.asarray(ov)
 
@@ -217,6 +218,34 @@ def test_sparse_pipeline_budget_overflow_degrades_gracefully(rng):
     got = set(i[0][i[0] != sp.IDX_SENTINEL].tolist())
     want = set(wi[0][wi[0] >= 0].tolist())
     assert got == want
+
+
+def test_kb_cap_prefix_exact(rng):
+    """kb_cap below k (the HNSW seed-scan shortcut) keeps the top-kb_cap
+    prefix EXACT (block-select bound holds per prefix) and every returned
+    (distance, slot) pair carries the true distance, sorted ascending —
+    only ranks kb_cap+1..k may differ from the oracle."""
+    nlist, n, d, k, cap = 8, 1500, 16, 32, 8
+    cents = rng.normal(scale=8.0, size=(nlist, d)).astype(np.float32)
+    assign = rng.integers(0, nlist, size=n).astype(np.int32)
+    corpus = (cents[assign] + rng.normal(size=(n, d))).astype(np.float32)
+    queries = (cents[rng.integers(0, nlist, QG)]
+               + rng.normal(size=(QG, d))).astype(np.float32)
+
+    s, i, ov = _run_pipeline(queries, corpus, assign, cents, 3, k,
+                             kb_cap=cap)
+    ws, wi = _oracle_probed(queries, corpus, assign, cents, 3, k)
+    assert ov.max() == 0
+    dfull = np.sqrt(np.maximum(
+        distances_np(queries, corpus, "l2_squared"), 0.0))
+    for q in range(QG):
+        # exact prefix
+        assert i[q][:cap].tolist() == wi[q][:cap].tolist(), q
+        # tail: true distances at the returned slots, ascending order
+        real = i[q] != sp.IDX_SENTINEL
+        np.testing.assert_allclose(
+            s[q][real], dfull[q][i[q][real]], rtol=1e-4, atol=1e-4)
+        assert np.all(np.diff(s[q][real]) >= 0), q
 
 
 def test_default_budgets_monotone():
