@@ -55,7 +55,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from comet_tpu.ops.distance import DEFAULT_PRECISION
-from comet_tpu.ops.sortnet import _merge_halve, topk_body, topk_cl
+from comet_tpu.ops.sortnet import (
+    _merge_halve,
+    cand_hier,
+    cand_topk_hier,
+    topk_body,
+    topk_cl,
+)
 
 CHUNK = 256     # corpus rows per chunk (two 128-row selection groups)
 SEL_GROUP = 128  # rows per selection group (lane width)
@@ -386,7 +392,7 @@ def _coarse_probes(qpad, centroids, nprobe, coarse_cosine, interpret):
     static_argnames=(
         "k", "nprobe", "S", "UC", "MC", "nlist",
         "coarse_cosine", "cosine", "sqrt_out", "chunk", "sel_group",
-        "bf16_domain", "kb_cap", "interpret",
+        "bf16_domain", "kb_cap", "hier", "interpret",
     ),
 )
 def _pipeline_jit(
@@ -410,6 +416,7 @@ def _pipeline_jit(
     sel_group: int = SEL_GROUP,
     bf16_domain: bool = False,
     kb_cap: int = 0,
+    hier: bool | None = None,
     interpret: bool = False,
 ):
     """Block-sparse IVF search, one dispatch for the whole padded batch.
@@ -429,6 +436,8 @@ def _pipeline_jit(
     exact (the block-select bound holds per prefix); ranks c+1..k come
     only from the kept c groups.
     """
+    if hier is None:
+        hier = cand_hier()
     Qp, d = qpad.shape
     G = Qp // QG
     # kb must stay a power of two >= k for both the bitonic select and the
@@ -462,14 +471,17 @@ def _pipeline_jit(
         d_g, gsel_g, chunks_g = args                # [QG, S*chunk], [kb, QG]
         ng = S * chunk // sel_group
         d3 = d_g.reshape(QG, ng, sel_group)
-        sel_q = gsel_g.T                            # [QG, kb]
-        cand = jnp.take_along_axis(d3, sel_q[:, :, None], axis=1)
-        cand_cl = cand.reshape(QG, kb * sel_group).T
-        cidx = (
-            gsel_g[:, None, :] * sel_group
-            + lax.broadcasted_iota(jnp.int32, (kb, sel_group, QG), 1)
-        ).reshape(kb * sel_group, QG)
-        fv, fi = topk_cl(cand_cl, cidx, k, interpret=interpret)
+        if hier:
+            fv, fi = cand_topk_hier(d3, gsel_g, k, interpret=interpret)
+        else:
+            sel_q = gsel_g.T                        # [QG, kb]
+            cand = jnp.take_along_axis(d3, sel_q[:, :, None], axis=1)
+            cand_cl = cand.reshape(QG, kb * sel_group).T
+            cidx = (
+                gsel_g[:, None, :] * sel_group
+                + lax.broadcasted_iota(jnp.int32, (kb, sel_group, QG), 1)
+            ).reshape(kb * sel_group, QG)
+            fv, fi = topk_cl(cand_cl, cidx, k, interpret=interpret)
         k2 = fv.shape[0]                            # k padded to pow2 >= 8
         fv, fi = fv.T, fi.T                         # [QG, k2]
         # local index -> cluster-major global row -> original slot
@@ -530,6 +542,7 @@ def ivf_sparse_pipeline(
     sel_group: int = SEL_GROUP,
     bf16_domain: bool = False,
     kb_cap: int = 0,
+    hier: bool | None = None,
     interpret: bool = False,
 ):
     """Memory-bounded front for `_pipeline_jit` (see its docstring).
@@ -546,7 +559,7 @@ def ivf_sparse_pipeline(
         k=k, nprobe=nprobe, S=S, UC=UC, MC=MC, nlist=nlist,
         coarse_cosine=coarse_cosine, cosine=cosine, sqrt_out=sqrt_out,
         chunk=chunk, sel_group=sel_group, bf16_domain=bf16_domain,
-        kb_cap=kb_cap, interpret=interpret,
+        kb_cap=kb_cap, hier=hier, interpret=interpret,
     )
     args = (corpus_t, mask_vec, row_slot, threshold, centroids,
             order_key, chunk_start, nchunks)

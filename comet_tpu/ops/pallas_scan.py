@@ -44,6 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from comet_tpu.ops.sortnet import (
     _merge_halve,
+    cand_hier,
+    cand_topk_hier,
     topk_body,
     topk_cl,
 )
@@ -235,7 +237,7 @@ def fused_dist_select(
 
 
 def _chunk_topk(args, corpus_t, mask_vec, thr, k, kb, group, cosine,
-                sqrt_out, interpret, assign=None, nprobe=0):
+                sqrt_out, interpret, assign=None, nprobe=0, hier=False):
     """One TQ-query chunk: distances + group select -> gather -> final
     exact top-k. All stages stay on device inside the enclosing jit."""
     if nprobe:
@@ -256,16 +258,24 @@ def _chunk_topk(args, corpus_t, mask_vec, thr, k, kb, group, cosine,
     # interleaved 5-sample bench A/Bs (XLA fuses this take_along_axis into
     # the surrounding pipeline; the flat take breaks that fusion) — keep
     # the take_along_axis form, re-measure in context before changing.
-    sel_q = gsel.T  # [TQ, kb]
-    cand = jnp.take_along_axis(
-        dist.reshape(TQ, G, group), sel_q[:, :, None], axis=1
-    )  # [TQ, kb, group]
-    cand_cl = cand.reshape(TQ, kb * group).T  # [C, TQ]
-    cidx = (
-        gsel[:, None, :] * group
-        + lax.broadcasted_iota(jnp.int32, (kb, group, TQ), 1)
-    ).reshape(kb * group, TQ)
-    fv, fi = topk_cl(cand_cl, cidx, k, interpret=interpret)  # [k_pow2, TQ]
+    if hier:
+        # two-level exact select (ops/sortnet.cand_topk_hier): the final
+        # bitonic sees kb2*32 rows instead of kb*group — bit-identical,
+        # measured end-to-end before adoption (see commit message)
+        fv, fi = cand_topk_hier(
+            dist.reshape(TQ, G, group), gsel, k, interpret=interpret
+        )
+    else:
+        sel_q = gsel.T  # [TQ, kb]
+        cand = jnp.take_along_axis(
+            dist.reshape(TQ, G, group), sel_q[:, :, None], axis=1
+        )  # [TQ, kb, group]
+        cand_cl = cand.reshape(TQ, kb * group).T  # [C, TQ]
+        cidx = (
+            gsel[:, None, :] * group
+            + lax.broadcasted_iota(jnp.int32, (kb, group, TQ), 1)
+        ).reshape(kb * group, TQ)
+        fv, fi = topk_cl(cand_cl, cidx, k, interpret=interpret)  # [k_pow2, TQ]
     fv, fi = fv[:k].T, fi[:k].T  # [TQ, k]
     fi = jnp.where(fv == INF, IDX_SENTINEL, fi)
     if sqrt_out:
@@ -275,7 +285,8 @@ def _chunk_topk(args, corpus_t, mask_vec, thr, k, kb, group, cosine,
 
 @partial(
     jax.jit,
-    static_argnames=("k", "cosine", "group", "sqrt_out", "interpret"),
+    static_argnames=("k", "cosine", "group", "sqrt_out", "hier",
+                     "interpret"),
 )
 def flat_topk_pipeline(
     qpad: jax.Array,       # [Qp, d] f32, Qp % TQ == 0
@@ -286,6 +297,7 @@ def flat_topk_pipeline(
     cosine: bool = False,
     group: int = GROUP,
     sqrt_out: bool = False,
+    hier: bool | None = None,
     interpret: bool = False,
 ):
     """Exact masked k-NN, one dispatch for the whole padded query batch.
@@ -293,6 +305,8 @@ def flat_topk_pipeline(
     Returns (scores [Qp, k], slots [Qp, k]); empty slots carry
     (+inf, IDX_SENTINEL). Requires k <= group * n_groups.
     """
+    if hier is None:
+        hier = cand_hier()
     if qpad.dtype != jnp.float32:
         qpad = qpad.astype(jnp.float32)  # narrow-wire cast in-jit
     Qp, d = qpad.shape
@@ -301,7 +315,7 @@ def flat_topk_pipeline(
     body = partial(
         _chunk_topk, corpus_t=corpus_t, mask_vec=mask_vec, thr=threshold,
         k=k, kb=kb, group=group, cosine=cosine, sqrt_out=sqrt_out,
-        interpret=interpret,
+        hier=hier, interpret=interpret,
     )
     if Qp == TQ:
         return body(qpad)
@@ -314,7 +328,7 @@ def flat_topk_pipeline(
     jax.jit,
     static_argnames=(
         "k", "nprobe", "coarse_cosine", "cosine", "group", "sqrt_out",
-        "interpret",
+        "hier", "interpret",
     ),
 )
 def ivf_topk_pipeline(
@@ -330,6 +344,7 @@ def ivf_topk_pipeline(
     cosine: bool = False,
     sqrt_out: bool = False,
     group: int = GROUP,
+    hier: bool | None = None,
     interpret: bool = False,
 ):
     """IVF/IVFPQ search as a dense masked scan, one dispatch per batch.
@@ -342,6 +357,8 @@ def ivf_topk_pipeline(
     MXU a masked dense scan is ~30x faster than the gather-bound
     cursor-walk at 1M scale, with identical results.
     """
+    if hier is None:
+        hier = cand_hier()
     if qpad.dtype != jnp.float32:
         qpad = qpad.astype(jnp.float32)  # narrow-wire cast in-jit
     Qp, d = qpad.shape
@@ -378,7 +395,7 @@ def ivf_topk_pipeline(
     body = partial(
         _chunk_topk, corpus_t=corpus_t, mask_vec=mask_vec, thr=threshold,
         k=k, kb=kb, group=group, cosine=cosine, sqrt_out=sqrt_out,
-        assign=assign, nprobe=nprobe_pad, interpret=interpret,
+        assign=assign, nprobe=nprobe_pad, hier=hier, interpret=interpret,
     )
     if Qp == TQ:
         return body((qpad, probes))

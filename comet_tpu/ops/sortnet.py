@@ -202,3 +202,76 @@ def topk_cl(
     while v.shape[0] > k:
         v, i = one_pass(v, i)
     return v[:, :l_real], i[:, :l_real]
+
+
+def cand_hier() -> bool:
+    """COMET_CAND_HIER=0 restores the one-level candidate select (the
+    hierarchical form is bit-identical — the flag exists for A/Bs).
+    Read at first trace of each pipeline signature: set it before the
+    first search, not mid-process."""
+    import os
+
+    return os.environ.get("COMET_CAND_HIER", "1") != "0"
+
+
+def cand_topk_hier(dist3, gsel, k, *, sub=32, interpret=False):
+    """Exact top-k over the member rows of the selected groups, done
+    HIERARCHICALLY: equivalent to gathering all kb*group candidate rows
+    and running one `topk_cl`, but with a second block-select level so the
+    final bitonic sees kb2*sub rows instead of kb*group (4x fewer at the
+    flat pipeline's shapes — the candidate bitonic is the select stage's
+    dominant cost).
+
+    dist3: [Q, G, group] distance tiles; gsel: [kb, Q] i32 kept group ids
+    (any order — only the kept SET matters). Steps: sort the kept ids
+    ascending (layout position order == global row order, so positional
+    tie-breaks equal global-index tie-breaks), split each group into
+    group/sub sub-blocks, keep the top-kb2 sub-blocks by (min, position)
+    — exact for top-k by the docs/DESIGN.md §2 block bound since
+    kb2 >= min(k, kb) — then run the exact (value, global index) bitonic
+    over the kb2*sub survivors. Returns ([k2, Q] values asc, [k2, Q]
+    global candidate indices), bit-identical to the flat formulation.
+
+    Falls back to the flat formulation when the second level would not
+    shrink the candidate set (small groups or kb below k, e.g. the capped
+    seed scan).
+    """
+    from jax import lax
+
+    Q, G, group = dist3.shape
+    kb = gsel.shape[0]
+    r = max(group // sub, 1)
+    kpow = _next_pow2(max(k, 8))
+    kb2 = min(_next_pow2(max(min(kpow, kb * r), 8)), kb * r)
+
+    gsel_s = jnp.sort(gsel, axis=0)               # [kb, Q] ascending ids
+    sel_q = gsel_s.T                              # [Q, kb]
+    cand = jnp.take_along_axis(dist3, sel_q[:, :, None], axis=1)
+
+    if kb * r <= 2 * kb2 or r <= 1:
+        # no meaningful reduction: flat formulation on the gathered rows
+        cand_cl = cand.reshape(Q, kb * group).T
+        cidx = (
+            gsel_s[:, None, :] * group
+            + lax.broadcasted_iota(jnp.int32, (kb, group, Q), 1)
+        ).reshape(kb * group, Q)
+        return topk_cl(cand_cl, cidx, k, interpret=interpret)
+
+    c2 = cand.reshape(Q, kb * r, sub)
+    m2 = c2.min(axis=2)                           # [Q, kb*r] sub-block mins
+    pos = lax.broadcasted_iota(jnp.int32, (kb * r, Q), 0)
+    _, p2 = topk_cl(m2.T, pos, kb2, interpret=interpret)
+    sel2 = p2[:kb2].T                             # [Q, kb2] positions
+    cand2 = jnp.take_along_axis(c2, sel2[:, :, None], axis=1)
+    cand_cl = cand2.reshape(Q, kb2 * sub).T       # [kb2*sub, Q]
+    # global candidate index of (sub-block position p, offset t):
+    #   gsel_s[p // r] * group + (p % r) * sub + t
+    gidx = (
+        jnp.take_along_axis(sel_q, sel2 // r, axis=1) * group
+        + (sel2 % r) * sub
+    )                                              # [Q, kb2]
+    cidx = (
+        gidx.T[:, None, :]
+        + lax.broadcasted_iota(jnp.int32, (kb2, sub, Q), 1)
+    ).reshape(kb2 * sub, Q)
+    return topk_cl(cand_cl, cidx, k, interpret=interpret)

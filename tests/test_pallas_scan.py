@@ -122,3 +122,41 @@ def test_pipeline_threshold_empties(rng):
     )
     assert np.all(np.isinf(np.asarray(s)))
     assert np.all(np.asarray(i) == int(IDX_SENTINEL))
+
+
+def test_cand_topk_hier_bit_identical(rng):
+    """The hierarchical candidate select must be BIT-identical to the flat
+    formulation (gather-all + one topk_cl), including tie order, for any
+    kept-group set — random values and a tie-heavy duplicate grid."""
+    from jax import lax
+
+    from comet_tpu.ops.sortnet import cand_topk_hier, topk_cl
+
+    Q, G, group, kb, k = 128, 32, 128, 16, 16
+    for case in ("random", "ties"):
+        if case == "random":
+            d = rng.normal(size=(Q, G, group)).astype(np.float32)
+        else:
+            # few distinct values -> massive cross-group ties
+            d = rng.integers(0, 4, size=(Q, G, group)).astype(np.float32)
+        # arbitrary kept-group ids, unsorted, per query
+        gsel = np.stack(
+            [rng.permutation(G)[:kb] for _ in range(Q)], axis=1
+        ).astype(np.int32)
+
+        d_j, g_j = jnp.asarray(d), jnp.asarray(gsel)
+        hv, hi = cand_topk_hier(d_j, g_j, k, sub=32, interpret=True)
+
+        # flat oracle: gather all kb*group rows, one topk_cl
+        gsel_s = jnp.sort(g_j, axis=0)
+        cand = jnp.take_along_axis(
+            d_j, gsel_s.T[:, :, None], axis=1
+        ).reshape(Q, kb * group).T
+        cidx = (
+            gsel_s[:, None, :] * group
+            + lax.broadcasted_iota(jnp.int32, (kb, group, Q), 1)
+        ).reshape(kb * group, Q)
+        fv, fi = topk_cl(cand, cidx, k, interpret=True)
+
+        np.testing.assert_array_equal(np.asarray(hv), np.asarray(fv), case)
+        np.testing.assert_array_equal(np.asarray(hi), np.asarray(fi), case)
