@@ -913,27 +913,37 @@ def _search_init(queries, entry, vectors, sqnorms, allowed, sq_thresh,
 
 
 def _search_finalize(queries, qn, vectors, sqnorms, allowed, sq_thresh,
-                     beam_d, beam_s, res_d, res_s, k, fused):
+                     beam_d, beam_s, res_d, res_s, k, fused,
+                     use_pallas=True):
     Q = queries.shape[0]
     if fused:
-        cd, cs = res_d.T, res_s.T                         # [Q, kr]
+        cd, cs = res_d, res_s                             # [kr, Q]
     else:
-        cd, cs = beam_d.T, beam_s.T                       # [Q, ef]
+        cd, cs = beam_d, beam_s                           # [ef, Q]
     # Exact-rerank window: the gather below is row-count-bound (~29 ns/row
     # on the v5e), so its width is real wall time at large Q — cap it at
     # 1.28x k (e.g. 128 rows for k=100; measured no recall@100 change vs a
     # 2x window, and ~40% off the finalize gather).
-    kk = min(max(2 * k, 64), max(_next_pow2(k), 64), cd.shape[1])
-    sd, ss = lax.sort((cd, cs), dimension=1, num_keys=2)
-    top_s = ss[:, :kk]
+    kk = min(max(2 * k, 64), max(_next_pow2(k), 64), cd.shape[0])
+    # candidate arrays are already column-lanes [C, Q]: the VMEM bitonic
+    # (ops/sortnet.topk_cl) replaces the [Q, 256] XLA variadic sort that
+    # dominated the fixed finalize cost (r5 probe: 13 -> ~8 ms/batch)
+    from comet_tpu.ops.sortnet import topk_cl
+
+    _, ssv = topk_cl(cd, cs, kk, interpret=not use_pallas)
+    top_s = ssv[:kk].T
     tv = vectors[jnp.maximum(top_s, 0)]
     ip = jnp.einsum(
         "qd,qkd->qk", queries, tv,
         preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST,
     )
-    td = jnp.maximum(
-        qn[:, None] + sqnorms[jnp.maximum(top_s, 0)] - ip * 2.0, 0.0
-    )
+    # norms recomputed from the gathered rows: a second sqnorms[top_s]
+    # gather costs as much as the vector gather itself (row-count-bound,
+    # ~29 ns/row — CLAUDE.md), while this VPU reduce rides the rows
+    # already fetched. Same f32 minor-axis sum that produced the stored
+    # sqnorms (indexes/hnsw.py _ensure_device), so values match.
+    tn = jnp.sum(tv * tv, axis=-1)
+    td = jnp.maximum(qn[:, None] + tn - ip * 2.0, 0.0)
     # slot-sort dedup — needed in BOTH modes: the entry node's init
     # distance is f32 while its in-loop rediscovery is bf16, so its two
     # copies carry different keys and survive the in-kernel dedup —
@@ -991,7 +1001,7 @@ def _beam_search_cpu(queries, entry, nbr_vecs, aux, vectors,
             break
     return _search_finalize(
         queries, qn, vectors, sqnorms, allowed, sq_thresh,
-        beam_d, beam_s, res_d, res_s, k, fused,
+        beam_d, beam_s, res_d, res_s, k, fused, use_pallas=False,
     )
 
 
