@@ -167,6 +167,8 @@ def _refine_device(
     the candidate block and ran a numpy einsum per batch — 4x the QPS cost
     at 1M (BENCHMARKS.md r4 nrefine row). Tie order matches the host path:
     (exact score asc, slot asc). Returns (scores [Q, k], slots [Q, k])."""
+    from comet_tpu.ops.sortnet import topk_cl
+
     sent = jnp.int32(IDX_SENTINEL)
     safe = jnp.where(slots == sent, 0, slots)
     v = vectors[safe]                                    # [Q, C, d]
@@ -178,11 +180,23 @@ def _refine_device(
         exact = 1.0 - jnp.clip(ip, -1.0, 1.0)
     else:
         qn = jnp.sum(qpad * qpad, axis=1)
-        l2sq = jnp.maximum(qn[:, None] + sqnorms[safe] - 2.0 * ip, 0.0)
+        # norms recomputed from the gathered rows: a second sqnorms[safe]
+        # gather costs as much as the vector gather (row-count-bound,
+        # ~29 ns/row) and sqnorms IS jnp.sum(v*v, 1) of the same rows
+        # (indexes/base.py device mirror)
+        tn = jnp.sum(v * v, axis=-1)
+        l2sq = jnp.maximum(qn[:, None] + tn - 2.0 * ip, 0.0)
         exact = l2sq if kind == DistanceKind.L2_SQUARED else jnp.sqrt(l2sq)
     exact = jnp.where(slots == sent, INF, exact)
-    sd, ss = lax.sort((exact, slots), dimension=1, num_keys=2)
-    return sd[:, :k], ss[:, :k]
+    # exact (value, slot) select via the VMEM bitonic instead of an XLA
+    # variadic sort on [Q, C] (the beam-finalize lesson, ops/beam_kernel);
+    # interpret off-TPU — this jit also serves the CPU/test backend
+    kp = min(max(k, 8), exact.shape[1])
+    sd, ss = topk_cl(
+        exact.T, jnp.where(slots == sent, sent, slots).T, kp,
+        interpret=jax.default_backend() != "tpu",
+    )
+    return sd[:k].T, ss[:k].T
 
 
 class IVFPQIndex(BaseVectorIndex):
