@@ -260,6 +260,7 @@ class IVFPQIndex(BaseVectorIndex):
         self._dev_rec_t = None
         self._dev_rec_sqn = None
         self._dev_assign = None
+        self._dev_cents_user = None  # coarse centroids in user coordinates
 
     # -- contracts -----------------------------------------------------------
 
@@ -542,7 +543,19 @@ class IVFPQIndex(BaseVectorIndex):
                     rec = jnp.dot(rec, rot_t,
                                   preferred_element_type=jnp.float32,
                                   precision=DEFAULT_PRECISION)
-                return rec.T, jnp.sum(rec * rec, axis=1)
+                if rot_t is not None:
+                    # coarse centroids rotate back with the data: probing
+                    # user-space queries against model-space centroids
+                    # ranks clusters in mismatched coordinates (the
+                    # sharded scan already did this — parallel/sharded.py
+                    # ShardedIVFPQSearcher; measured ~4% probe-set drift
+                    # at nprobe=8 on siftgen, larger on anisotropic data)
+                    cents = jnp.dot(centroids, rot_t,
+                                    preferred_element_type=jnp.float32,
+                                    precision=DEFAULT_PRECISION)
+                else:
+                    cents = centroids
+                return rec.T, jnp.sum(rec * rec, axis=1), cents
 
             code_np = (
                 self._codes[:cap].astype(np.uint8) if self._nbits <= 8
@@ -550,7 +563,7 @@ class IVFPQIndex(BaseVectorIndex):
             )
             codes = jnp.asarray(code_np)
             assign = jnp.asarray(self._assign[:cap])
-            rec_t, sqnorms = build(
+            rec_t, sqnorms, cents = build(
                 codes, assign,
                 jnp.asarray(self._centroids), jnp.asarray(self._codebooks),
                 jnp.asarray(self._rot.T) if self._rot is not None else None,
@@ -558,6 +571,7 @@ class IVFPQIndex(BaseVectorIndex):
             self._dev_rec_t = rec_t
             self._dev_rec_sqn = sqnorms
             self._dev_assign = assign
+            self._dev_cents_user = cents
             self._dense_version = self._store.version
         return self._dev_rec_t, self._dev_rec_sqn, self._dev_assign
 
@@ -618,7 +632,7 @@ class IVFPQIndex(BaseVectorIndex):
             qdev = upload_f32_exact(qpad)
             s, i = ivf_topk_pipeline(
                 qdev, rec_t, mask_vec, thr * thr,
-                jnp.asarray(self._centroids), assign_dev,
+                self._dev_cents_user, assign_dev,
                 k_pad, nprobe,
                 coarse_cosine=self._distance_kind == DistanceKind.COSINE,
                 cosine=False,

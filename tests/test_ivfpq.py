@@ -278,3 +278,31 @@ def test_opq_improves_quantization_error(rng):
         return float(((rec - data) ** 2).sum())
 
     assert recon_err(True) < recon_err(False) * 0.9
+
+
+def test_device_dense_opq_centroids_in_user_space(rng):
+    """The dense-path coarse centroids must rotate back with the
+    reconstructions (OPQ model space -> user space, the same move the
+    sharded searcher makes): probing user-space queries against
+    model-space centroids ranks clusters in mismatched coordinates on
+    anisotropic data."""
+    n, dim = 900, 16
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    scalemat = np.diag(np.linspace(0.1, 2.0, dim).astype(np.float32))
+    data = (base @ scalemat).astype(np.float32)
+    idx = IVFPQIndex(dim, DistanceKind.L2, nlist=4, m=4, nbits=6,
+                     store_originals=True, opq=True, opq_iters=2)
+    idx.train(data)
+    idx.add_batch(data)
+    idx._device_dense()
+    got = np.asarray(idx._dev_cents_user)
+    want = idx._centroids @ idx._rot.T
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # without OPQ the cache passes the centroids through unchanged
+    idx2 = IVFPQIndex(dim, DistanceKind.L2, nlist=4, m=4, nbits=6,
+                      store_originals=True)
+    idx2.train(data)
+    idx2.add_batch(data)
+    idx2._device_dense()
+    np.testing.assert_allclose(
+        np.asarray(idx2._dev_cents_user), idx2._centroids, rtol=1e-6)
