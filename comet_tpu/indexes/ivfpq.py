@@ -23,6 +23,7 @@ re-ranked with exact distances on the stored originals.
 
 from __future__ import annotations
 
+import logging
 import math
 from functools import partial
 from typing import BinaryIO, Iterable
@@ -48,6 +49,8 @@ from comet_tpu.io import serial
 from comet_tpu.ops.distance import DEFAULT_PRECISION, pairwise_scores, preprocess
 from comet_tpu.ops.kmeans import kmeans, kmeans_ivfpq_train, kmeans_subspace
 from comet_tpu.ops.topk import IDX_SENTINEL, INF, merge_topk
+
+logger = logging.getLogger(__name__)
 from comet_tpu.types import (
     DistanceKind,
     InvalidConfigError,
@@ -261,6 +264,14 @@ class IVFPQIndex(BaseVectorIndex):
         self._dev_rec_sqn = None
         self._dev_assign = None
         self._dev_cents_user = None  # coarse centroids in user coordinates
+        # block-sparse reconstructed layout (TPU path at scale: compute
+        # tracks nprobe instead of scanning the whole reconstruction)
+        self._sparse = None
+        self._sparse_version = -1
+        self._sparse_S_hint: dict[tuple[int, int], int] = {}
+        self._order_key = None
+        self._order_key_src = None
+        self._last_overflow = None
 
     # -- contracts -----------------------------------------------------------
 
@@ -575,6 +586,143 @@ class IVFPQIndex(BaseVectorIndex):
             self._dense_version = self._store.version
         return self._dev_rec_t, self._dev_rec_sqn, self._dev_assign
 
+    def _device_sparse(self):
+        """Cluster-major reconstructed corpus for the block-sparse scan
+        (ops/ivf_sparse), in USER coordinates — the IVF layout move
+        applied to the ADC reconstruction (see indexes/ivf.py
+        _device_sparse and _device_dense's reconstruction identity)."""
+        import jax
+
+        from comet_tpu.ops import ivf_sparse as sp
+        from comet_tpu.ops.adc import pq_decode
+
+        cents_user = (
+            self._centroids @ self._rot.T
+            if self._rot is not None else self._centroids
+        )
+        if self._order_key is None or self._order_key_src is not self._centroids:
+            self._order_key = jnp.asarray(
+                sp.cluster_order_key(cents_user.astype(np.float32))
+            )
+            self._order_key_src = self._centroids
+        if self._sparse_version != self._store.version:
+            n = self._store.n
+            assign = np.where(
+                self._store.valid[:n], self._assign[:n], -1
+            ).astype(np.int32)
+            lay = sp.build_cluster_major(assign, self._nlist)
+            perm = jnp.asarray(lay["perm"])
+
+            @jax.jit
+            def build(perm, codes, assign_dev, centroids, codebooks, rot_t):
+                resid = pq_decode(codes.astype(jnp.int32), codebooks)
+                cent = centroids[jnp.maximum(assign_dev, 0)]
+                rec = resid + cent
+                if rot_t is not None:
+                    rec = jnp.dot(rec, rot_t,
+                                  preferred_element_type=jnp.float32,
+                                  precision=DEFAULT_PRECISION)
+                pc = jnp.maximum(perm, 0)
+                rows = rec[pc]                            # [NR, d]
+                mask = jnp.where(
+                    perm >= 0, jnp.sum(rows * rows, axis=1), jnp.inf
+                )
+                return rows.T, mask
+
+            n_rows = int(self._store.n)
+            code_np = (
+                self._codes[:n_rows].astype(np.uint8) if self._nbits <= 8
+                else self._codes[:n_rows]
+            )
+            corpus_t, mask_vec = build(
+                perm, jnp.asarray(code_np),
+                jnp.asarray(self._assign[:n_rows]),
+                jnp.asarray(self._centroids), jnp.asarray(self._codebooks),
+                jnp.asarray(self._rot.T) if self._rot is not None else None,
+            )
+            self._sparse_S_hint.clear()
+            self._sparse = {
+                "corpus_t": corpus_t,
+                "mask_vec": mask_vec,
+                "row_slot": perm,
+                "cents_user": jnp.asarray(cents_user.astype(np.float32)),
+                "chunk_start": jnp.asarray(lay["chunk_start"]),
+                "nchunks": jnp.asarray(lay["nchunks"]),
+                "nch_total": int(lay["chunk_start"][-1]),
+                "max_chunks": lay["max_chunks"],
+            }
+            self._sparse_version = self._store.version
+        return self._sparse
+
+    def _launch_sparse(self, qpad, q_real, k_pad, k_eff, take, nrefine,
+                       nprobe, builder, qprep, S_override=None):
+        """Block-sparse ADC scan + optional fused refine; same escalation
+        contract as indexes/ivf.py _launch_sparse (overflow counts ride
+        the handle, _search_collect rescans with escalated budgets)."""
+        from comet_tpu.ops import ivf_sparse as sp
+
+        st = self._device_sparse()
+        store = self._store
+        cosine = self._distance_kind == DistanceKind.COSINE
+        thr = threshold_scalar(builder._threshold)
+        if qpad.shape[0] % sp.QG != 0:
+            grown = np.zeros(
+                (-(-qpad.shape[0] // sp.QG) * sp.QG, qpad.shape[1]),
+                np.float32,
+            )
+            grown[: qpad.shape[0]] = qpad
+            qpad = grown
+        # invalid slots are already +inf in the layout mask (the cache is
+        # store.version-fresh); only the per-call doc filter folds in here
+        mask_vec = st["mask_vec"]
+        doc_filter = DocumentFilter(builder._document_ids)
+        fmask = doc_filter.slot_mask(store.ids)
+        if fmask is not None:
+            fdev = jnp.asarray(fmask)[jnp.maximum(st["row_slot"], 0)]
+            mask_vec = jnp.where(fdev, mask_vec, jnp.inf)
+        S, UC, MC = sp.default_budgets(
+            nprobe, self._nlist, st["nch_total"], st["max_chunks"]
+        )
+        S = max(S, self._sparse_S_hint.get((nprobe, k_pad), 0))
+        S_max = 1 << max(int(st["nch_total"] - 1).bit_length(), 5)
+        if S_override is not None:
+            S = max(S_override, S)
+        S = min(S, S_max)
+        UC = min(S, self._nlist)
+        qdev = upload_f32_exact(qpad)
+        s, i, overflow = sp.ivf_sparse_pipeline(
+            qdev, st["corpus_t"], mask_vec, st["row_slot"],
+            thr * thr, st["cents_user"], self._order_key,
+            st["chunk_start"], st["nchunks"],
+            k=k_pad, nprobe=nprobe, S=S, UC=UC, MC=MC, nlist=self._nlist,
+            coarse_cosine=cosine, cosine=False, sqrt_out=True,
+        )
+        self._last_overflow = overflow
+        take_out, nrefine_out = take, nrefine
+        if nrefine:
+            vecs_dev, sqn_dev, _valid_dev = store.device_state()
+            s, i = _refine_device(
+                qdev, i[:, :take], vecs_dev, sqn_dev,
+                k_eff, self._distance_kind,
+            )
+            take_out, nrefine_out = k_eff, 0
+        try:
+            if builder._wire_scores:
+                s.copy_to_host_async()
+            i.copy_to_host_async()
+            overflow.copy_to_host_async()
+        except AttributeError:  # pragma: no cover
+            pass
+        kb = max(1 << max(k_pad - 1, 1).bit_length(), 8)
+        S_eff = max(S, -(-kb * sp.SEL_GROUP // sp.CHUNK))
+        retry = None
+        if S_eff < S_max:
+            retry = (qpad, q_real, k_pad, k_eff, take, nrefine, nprobe,
+                     builder, qprep, S_eff, S_max)
+        return ("ivfpq_sparse", s if builder._wire_scores else None, i,
+                q_real, k_eff, take_out, nrefine_out, qprep, store.ids,
+                overflow, retry)
+
     def _search_batch(self, queries: np.ndarray, builder: VectorSearchBuilder):
         return self._search_collect(self._search_launch(queries, builder))
 
@@ -612,12 +760,40 @@ class IVFPQIndex(BaseVectorIndex):
             pallas_available,
         )
 
+        # Block-sparse ADC: scans only probed chunks of the reconstruction
+        # (the indexes/ivf.py move; at 1M/nlist=1024/nprobe=32 that is
+        # ~13% of the rows the dense masked scan pays for). k_pad <= 256
+        # guards the known kb>=1024 sort-network compile cliff with
+        # headroom. COMET_IVFPQ_SPARSE=0 disables; =1 forces (tests).
+        import os as _os
+
+        sparse_env = _os.environ.get("COMET_IVFPQ_SPARSE", "")
+        use_sparse = (
+            pallas_available()
+            and sparse_env != "0"
+            and (store.capacity >= (1 << 19) or sparse_env == "1")
+            and self._nlist >= 8
+            and nprobe < self._nlist
+            and k_pad <= 256
+        )
+        if use_sparse and self._sparse is not None:
+            # degenerate-shape fallback (see indexes/ivf.py): a learned
+            # budget near the table size means the sparse walk covers
+            # most chunks anyway — the dense pipeline wins there
+            hint = self._sparse_S_hint.get((nprobe, k_pad), 0)
+            if 2 * hint >= self._sparse["nch_total"]:
+                use_sparse = False
         use_dense = (
             pallas_available()
             and store.capacity % P_TN == 0
             and store.capacity <= (1 << 21)
             and max(k_pad, 8) <= store.capacity // P_GROUP
         )
+        if use_sparse:
+            return self._launch_sparse(
+                qpad, q_real, k_pad, k_eff, take, nrefine, nprobe,
+                builder, qprep,
+            )
         if use_dense:
             rec_t, rec_sqn, assign_dev = self._device_dense()
             # ADC is sqrt-L2 on reconstructions for every metric; the
@@ -686,6 +862,43 @@ class IVFPQIndex(BaseVectorIndex):
                 np.full((q, 0), INVALID_ID, dtype=np.uint32),
                 np.zeros((q, 0), dtype=np.float32),
             )
+        if kind == "ivfpq_sparse":
+            # same escalation contract as indexes/ivf.py _search_collect:
+            # rescan with a bumped step budget until every requested
+            # probe's chunks were walked (or the budget caps at the table)
+            (_, s, i, q_real, k_eff, take, nrefine, qprep, ids_snap,
+             overflow, retry) = handle
+            ov = np.asarray(jax.device_get(overflow))
+            dropped = int(ov.sum())
+            while dropped > 0 and retry is not None:
+                (qpad, q_real, k_pad, k_eff, take_r, nrefine_r, nprobe,
+                 builder, qprep, S_old, S_max) = retry
+                S_new = min(
+                    1 << int(S_old + int(ov.max()) - 1).bit_length(), S_max
+                )
+                if S_new <= S_old:  # pragma: no cover - cap reached
+                    logger.warning(
+                        "ivfpq sparse scan overflow at max budget: "
+                        "%d chunk(s)", dropped,
+                    )
+                    break
+                logger.warning(
+                    "ivfpq sparse scan overflow: %d chunk(s) dropped across"
+                    " %d group(s); rescanning with S=%d (was %d)",
+                    dropped, int((ov > 0).sum()), S_new, S_old,
+                )
+                self._sparse_S_hint[(nprobe, k_pad)] = S_new
+                handle = self._launch_sparse(
+                    qpad, q_real, k_pad, k_eff, take_r, nrefine_r, nprobe,
+                    builder, qprep, S_override=S_new,
+                )
+                (_, s, i, q_real, k_eff, take, nrefine, qprep, ids_snap,
+                 overflow, retry) = handle
+                ov = np.asarray(jax.device_get(overflow))
+                dropped = int(ov.sum())
+            handle = ("ivfpq_dev", s, i, q_real, k_eff, take, nrefine,
+                      qprep, ids_snap)
+            kind = "ivfpq_dev"
         if kind == "ivfpq_dev":
             _, s, i, q_real, k_eff, take, nrefine, qprep, ids_snap = handle
             if s is None:  # wire_scores=False: ids-only download
