@@ -690,12 +690,15 @@ class IVFPQIndex(BaseVectorIndex):
         S = min(S, S_max)
         UC = min(S, self._nlist)
         qdev = upload_f32_exact(qpad)
+        # same approximate-shortlist cap as the dense branch
+        kb_cap = max(next_pow2(k_eff), 64) if nrefine else 0
         s, i, overflow = sp.ivf_sparse_pipeline(
             qdev, st["corpus_t"], mask_vec, st["row_slot"],
             thr * thr, st["cents_user"], self._order_key,
             st["chunk_start"], st["nchunks"],
             k=k_pad, nprobe=nprobe, S=S, UC=UC, MC=MC, nlist=self._nlist,
             coarse_cosine=cosine, cosine=False, sqrt_out=True,
+            kb_cap=kb_cap,
         )
         self._last_overflow = overflow
         take_out, nrefine_out = take, nrefine
@@ -714,6 +717,8 @@ class IVFPQIndex(BaseVectorIndex):
         except AttributeError:  # pragma: no cover
             pass
         kb = max(1 << max(k_pad - 1, 1).bit_length(), 8)
+        if kb_cap:
+            kb = min(kb, max(1 << max(kb_cap - 1, 1).bit_length(), 8))
         S_eff = max(S, -(-kb * sp.SEL_GROUP // sp.CHUNK))
         retry = None
         if S_eff < S_max:
@@ -806,6 +811,12 @@ class IVFPQIndex(BaseVectorIndex):
                 grown[: qpad.shape[0]] = qpad
                 qpad = grown
             qdev = upload_f32_exact(qpad)
+            # an nrefine shortlist is rerank input, not served results:
+            # cap the block select below the exactness bound (top-kb_cap
+            # ADC ranks stay exact; the exact rerank orders the rest) —
+            # the kb=256 candidate stage was the dense scan's dominant
+            # fixed cost at nrefine=256
+            kb_cap = max(next_pow2(k_eff), 64) if nrefine else 0
             s, i = ivf_topk_pipeline(
                 qdev, rec_t, mask_vec, thr * thr,
                 self._dev_cents_user, assign_dev,
@@ -813,6 +824,7 @@ class IVFPQIndex(BaseVectorIndex):
                 coarse_cosine=self._distance_kind == DistanceKind.COSINE,
                 cosine=False,
                 sqrt_out=True,
+                kb_cap=kb_cap,
             )
             if nrefine:
                 # fused device-side exact re-rank — no host round-trip of

@@ -285,7 +285,7 @@ def _chunk_topk(args, corpus_t, mask_vec, thr, k, kb, group, cosine,
 
 @partial(
     jax.jit,
-    static_argnames=("k", "cosine", "group", "sqrt_out", "hier",
+    static_argnames=("k", "cosine", "group", "sqrt_out", "hier", "kb_cap",
                      "interpret"),
 )
 def flat_topk_pipeline(
@@ -298,12 +298,19 @@ def flat_topk_pipeline(
     group: int = GROUP,
     sqrt_out: bool = False,
     hier: bool | None = None,
+    kb_cap: int = 0,
     interpret: bool = False,
 ):
     """Exact masked k-NN, one dispatch for the whole padded query batch.
 
     Returns (scores [Qp, k], slots [Qp, k]); empty slots carry
     (+inf, IDX_SENTINEL). Requires k <= group * n_groups.
+
+    kb_cap (0 = off) caps the kept selection groups below the exactness
+    bound — for APPROXIMATE-shortlist callers only (e.g. the ADC
+    shortlist feeding an exact nrefine rerank): the top-kb_cap rows stay
+    exact, ranks kb_cap+1..k come from the kept groups (same contract as
+    ops/ivf_sparse kb_cap).
     """
     if hier is None:
         hier = cand_hier()
@@ -312,6 +319,8 @@ def flat_topk_pipeline(
     Qp, d = qpad.shape
     G = corpus_t.shape[1] // group
     kb = min(max(1 << max(k - 1, 1).bit_length(), 8), G)  # pow2, >= k
+    if kb_cap:
+        kb = min(kb, max(1 << max(kb_cap - 1, 1).bit_length(), 8))
     body = partial(
         _chunk_topk, corpus_t=corpus_t, mask_vec=mask_vec, thr=threshold,
         k=k, kb=kb, group=group, cosine=cosine, sqrt_out=sqrt_out,
@@ -328,7 +337,7 @@ def flat_topk_pipeline(
     jax.jit,
     static_argnames=(
         "k", "nprobe", "coarse_cosine", "cosine", "group", "sqrt_out",
-        "hier", "interpret",
+        "hier", "kb_cap", "interpret",
     ),
 )
 def ivf_topk_pipeline(
@@ -345,6 +354,7 @@ def ivf_topk_pipeline(
     sqrt_out: bool = False,
     group: int = GROUP,
     hier: bool | None = None,
+    kb_cap: int = 0,
     interpret: bool = False,
 ):
     """IVF/IVFPQ search as a dense masked scan, one dispatch per batch.
@@ -392,6 +402,8 @@ def ivf_topk_pipeline(
 
     G = corpus_t.shape[1] // group
     kb = min(max(1 << max(k - 1, 1).bit_length(), 8), G)
+    if kb_cap:  # approximate-shortlist callers only (see flat pipeline)
+        kb = min(kb, max(1 << max(kb_cap - 1, 1).bit_length(), 8))
     body = partial(
         _chunk_topk, corpus_t=corpus_t, mask_vec=mask_vec, thr=threshold,
         k=k, kb=kb, group=group, cosine=cosine, sqrt_out=sqrt_out,
